@@ -1,0 +1,641 @@
+"""Deterministic synthetic web-page corpus + pure-Python golden oracle.
+
+Replaces the reference's external inputs (Vespa document store + LLM
+extraction, vespa_integration.py / entity_extractor.py) with a seeded,
+fully reproducible generator so that goldens are *derivable* rather than
+recorded:
+
+  * pages:   (url, warc_ts, html, text, lang) — the exact input shape
+             mandated by BASELINE.json input_hint.
+  * goldens: per-url extracted text (byte-identity oracle), planted
+             mentions, planted triples, and the canonicalized entity /
+             triple tables computed by an *independent* union-find oracle
+             (NOT by the Spark pipeline under test).
+
+The sentence grammar here is the specification the extraction operator
+(operators/extraction.py) implements — the deterministic stand-in for the
+reference's LLM prompt grammar (prompt.py:16-144, entity_extractor.py:135-270).
+
+Everything is a pure function of (n_pages, seed). No wall clock, no
+external data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta, timezone
+from html import escape
+
+from knowledgegraph_spark.config import (
+    DEFAULT_STRENGTH,
+    MATCHING_RULES,
+    STRENGTH_BY_PRED,
+)
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+FIRST_NAMES = [
+    "Alice", "Bruno", "Carla", "Deepak", "Elena", "Farid", "Grace", "Hugo",
+    "Ingrid", "Jonas", "Keiko", "Liam", "Mona", "Nils", "Olga", "Pablo",
+    "Quentin", "Rosa", "Stefan", "Tara", "Umar", "Vera", "Wim", "Xenia",
+    "Yusuf", "Zara", "Anton", "Bianca", "Cedric", "Dora",
+]
+LAST_NAMES = [
+    "Johnson", "Keller", "Lindgren", "Moreau", "Novak", "Okafor", "Petrov",
+    "Quirke", "Rossi", "Schmidt", "Tanaka", "Ueda", "Vargas", "Weber",
+    "Xiang", "Yilmaz", "Zhou", "Andersen", "Bauer", "Castillo", "Dubois",
+    "Eriksen", "Fischer", "Garcia", "Haddad", "Ivanov", "Jansen", "Kowalski",
+    "Larsen", "Meyer", "Nakamura", "Olsen", "Popescu", "Quast", "Richter",
+    "Silva", "Thomsen", "Urbano", "Vogel", "Wagner",
+]
+ORG_BASES = [
+    "Acme", "Borealis", "Cinder", "Dynamo", "Everest", "Fathom", "Glacier",
+    "Harbor", "Ironwood", "Juniper", "Krypton", "Lumen", "Meridian", "Nimbus",
+    "Obsidian", "Pinnacle", "Quartz", "Riverton", "Summit", "Tundra",
+    "Umbra", "Vertex", "Wavecrest", "Xylo", "Yonder", "Zephyr",
+]
+ORG_SUFFIXES = ["Corp", "Labs", "Systems", "Analytics", "Industries"]
+ORG_ALIAS_SUFFIXES = {
+    "Corp": "Corporation",
+    "Labs": "Laboratories",
+    "Systems": "Software Systems",
+    "Analytics": "Data Analytics",
+    "Industries": "Heavy Industries",
+}
+TEAM_NAMES = [
+    "Platform", "Infrastructure", "Search", "Payments", "Growth", "Mobile",
+    "Security", "Data", "Frontend", "Backend", "Reliability", "Tooling",
+]
+PROJECT_NAMES = [
+    "Apollo", "Borealis", "Cascade", "Delta", "Ember", "Falcon", "Gemini",
+    "Horizon", "Icarus", "Jupiter", "Kepler", "Lyra", "Mercury", "Nova",
+    "Orion", "Pegasus", "Quasar", "Rigel", "Sirius", "Titan",
+]
+REPO_WORDS = [
+    "dataflow", "ingest", "scheduler", "parser", "indexer", "gateway",
+    "metrics", "auth", "billing", "notifier", "crawler", "renderer",
+    "allocator", "cache", "router", "sync", "vault", "logger",
+]
+BRANCH_WORDS = [
+    "fix-null-keys", "perf-shuffle", "add-retries", "refactor-io",
+    "update-deps", "feature-linking", "cleanup-logs", "tune-gc",
+    "schema-v2", "batch-writes", "dedup-pass", "arrow-udf",
+]
+TOPIC_NAMES = [
+    "stream processing", "query optimization", "entity resolution",
+    "schema evolution", "vector search", "data quality", "access control",
+    "incremental compute", "graph storage", "text extraction",
+    "capacity planning", "cost attribution",
+]
+EVENT_NAMES = [
+    "Q1 Planning", "Q2 Planning", "Q3 Planning", "Q4 Planning",
+    "Arch Review", "Launch Retro", "Oncall Handoff", "Perf Summit",
+    "Design Jam", "Release Readiness",
+]
+ISSUE_KEYS = ["KG", "DF", "OPS", "SRCH", "PAY"]
+
+NOISE_SENTENCES = [
+    "The weather that week was unremarkable and mild.",
+    "Lunch was served in the atrium at noon.",
+    "Research & development budgets were discussed informally.",
+    "Several attendees joined the call a few minutes late.",
+    "The office plants were watered on Friday.",
+    "Coffee consumption reached a new quarterly high.",
+    "A fire drill briefly interrupted the afternoon.",
+    "Parking remains scarce near the north entrance.",
+    "The vending machine accepts contactless payments now.",
+    "Someone left an umbrella in the third-floor kitchen.",
+]
+NOISE_DE = [
+    "Das Wetter war in dieser Woche unauffällig und mild.",
+    "Die Besprechung begann mit einer kurzen Vorstellungsrunde.",
+    "Der Kaffee in der Küche war schon wieder leer.",
+    "Die Präsentation wurde auf nächste Woche verschoben.",
+]
+NOISE_FR = [
+    "La réunion a commencé avec quelques minutes de retard.",
+    "Le temps était doux cette semaine-là.",
+    "Les notes de la séance seront partagées demain.",
+    "Le déjeuner a été servi dans le hall principal.",
+]
+
+
+# ---------------------------------------------------------------------------
+# World model
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Person:
+    first: str
+    last: str
+    email: str
+
+    @property
+    def name(self) -> str:
+        return f"{self.first} {self.last}"
+
+    @property
+    def alias(self) -> str:
+        return f"{self.first[0]}. {self.last}"
+
+
+@dataclass
+class Org:
+    base: str
+    suffix: str
+    domain: str
+
+    @property
+    def name(self) -> str:
+        return f"{self.base} {self.suffix}"
+
+    @property
+    def alias(self) -> str:
+        return f"{self.base} {ORG_ALIAS_SUFFIXES[self.suffix]}"
+
+
+@dataclass
+class World:
+    people: list[Person] = field(default_factory=list)
+    orgs: list[Org] = field(default_factory=list)
+    teams: list[str] = field(default_factory=list)
+    projects: list[str] = field(default_factory=list)
+    repos: list[str] = field(default_factory=list)       # "owner/name"
+    branches: list[str] = field(default_factory=list)    # unique branch names
+    prs: list[int] = field(default_factory=list)         # PR numbers
+    issues: list[str] = field(default_factory=list)      # "KEY-n"
+    events: list[str] = field(default_factory=list)
+    topics: list[str] = field(default_factory=list)
+
+
+def make_world(rng: random.Random, n_pages: int) -> World:
+    w = World()
+    n_people = min(len(FIRST_NAMES) * len(LAST_NAMES), max(8, n_pages // 3))
+    combos = rng.sample(
+        [(f, l) for f in FIRST_NAMES for l in LAST_NAMES], n_people
+    )
+    n_orgs = min(len(ORG_BASES), max(4, n_pages // 15))
+    org_picks = rng.sample(ORG_BASES, n_orgs)
+    orgs = []
+    for base in org_picks:
+        suffix = rng.choice(ORG_SUFFIXES)
+        orgs.append(Org(base, suffix, f"{base.lower()}.example"))
+    w.orgs = orgs
+    for f, l in combos:
+        org = rng.choice(orgs)
+        w.people.append(Person(f, l, f"{f.lower()}.{l.lower()}@{org.domain}"))
+    w.teams = TEAM_NAMES[: max(3, min(len(TEAM_NAMES), n_pages // 20))]
+    w.projects = PROJECT_NAMES[: max(4, min(len(PROJECT_NAMES), n_pages // 15))]
+    owners = [o.base.lower() for o in orgs]
+    w.repos = [
+        f"{rng.choice(owners)}/{word}" for word in
+        rng.sample(REPO_WORDS, max(4, min(len(REPO_WORDS), n_pages // 12)))
+    ]
+    w.branches = list(BRANCH_WORDS[: max(4, min(len(BRANCH_WORDS), n_pages // 12))])
+    w.prs = list(range(100, 100 + max(6, n_pages // 4)))
+    w.issues = [
+        f"{rng.choice(ISSUE_KEYS)}-{i}" for i in range(10, 10 + max(6, n_pages // 4))
+    ]
+    w.events = EVENT_NAMES[: max(3, min(len(EVENT_NAMES), n_pages // 20))]
+    w.topics = TOPIC_NAMES[: max(4, min(len(TOPIC_NAMES), n_pages // 15))]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Mention rendering + fact sentences
+#
+# A "fact" is one planted relation instance; rendering a fact yields one
+# sentence plus the planted mention records (what a perfect extractor
+# recovers from that sentence).
+# ---------------------------------------------------------------------------
+
+
+def _person_mention(p: Person, form: int) -> tuple[str, dict]:
+    """form 0: canonical name; 1: name+email; 2: alias+email."""
+    if form == 0:
+        return p.name, {"name": p.name, "type": "Person", "email": None}
+    if form == 1:
+        return f"{p.name} ({p.email})", {"name": p.name, "type": "Person", "email": p.email}
+    return f"{p.alias} ({p.email})", {"name": p.alias, "type": "Person", "email": p.email}
+
+
+def _org_mention(o: Org, form: int) -> tuple[str, dict]:
+    """form 0: name; 1: name+[domain]; 2: alias+[domain]."""
+    if form == 0:
+        return o.name, {"name": o.name, "type": "Organization", "domain": None}
+    if form == 1:
+        return f"{o.name} [{o.domain}]", {"name": o.name, "type": "Organization", "domain": o.domain}
+    return f"{o.alias} [{o.domain}]", {"name": o.alias, "type": "Organization", "domain": o.domain}
+
+
+def _mk_fact(rng: random.Random, w: World, head_org: Org, head_frac: float):
+    """Build one fact: returns (sentence_template_fn) deferred to render time.
+
+    We return the *identity* of the fact (pred + participants); the surface
+    form of each mention is chosen per page render so the same fact appears
+    under different aliases across pages (the dedup exercise).
+    """
+    kind = rng.choice(
+        [
+            "WORKS_AT", "WORKS_AT", "WORKS_AT",  # weighted: head relation
+            "WORKS_ON", "MEMBER_OF", "MANAGES", "AUTHORED", "REVIEWED",
+            "BELONGS_TO_PR", "ASSIGNED_TO", "MERGES", "CREATED",
+            "CREATED_EVENT", "BELONGS_TO_TOPIC",
+        ]
+    )
+    p = rng.choice(w.people)
+    if kind == "WORKS_AT":
+        org = head_org if rng.random() < head_frac else rng.choice(w.orgs)
+        return ("WORKS_AT", p, org)
+    if kind == "WORKS_ON":
+        return ("WORKS_ON", p, rng.choice(w.projects))
+    if kind == "MEMBER_OF":
+        return ("MEMBER_OF", p, rng.choice(w.teams))
+    if kind == "MANAGES":
+        return ("MANAGES", p, rng.choice(w.teams))
+    if kind == "AUTHORED":
+        return ("AUTHORED", p, rng.choice(w.prs))
+    if kind == "REVIEWED":
+        return ("REVIEWED", p, rng.choice(w.prs))
+    if kind == "BELONGS_TO_PR":
+        return ("BELONGS_TO_PR", rng.choice(w.prs), rng.choice(w.repos))
+    if kind == "ASSIGNED_TO":
+        return ("ASSIGNED_TO", rng.choice(w.issues), p)
+    if kind == "MERGES":
+        b1, b2 = rng.sample(w.branches, 2)
+        return ("MERGES", rng.choice(w.prs), (b1, b2))
+    if kind == "CREATED":
+        return ("CREATED", p, rng.choice(w.repos))
+    if kind == "CREATED_EVENT":
+        return ("CREATED_EVENT", p, rng.choice(w.events))
+    return ("BELONGS_TO_TOPIC", rng.choice(w.issues), rng.choice(w.topics))
+
+
+def _render_fact(rng: random.Random, fact) -> tuple[str, list[dict], list[dict]]:
+    """Render fact → (sentence, mentions, raw_triples).
+
+    Mentions: dicts with surface attrs (the spec for the extractor).
+    Raw triples: endpoint references by *surface name* — endpoint
+    canonicalization happens downstream (linking + CC), same as the
+    reference resolving relation endpoints through entity_mapping
+    (systematic_merge_provider.py:944-989).
+    """
+    kind = fact[0]
+    mentions: list[dict] = []
+    triples: list[dict] = []
+
+    def _p(person, forms=(0, 1, 2)):
+        form = rng.choice(forms)
+        s, m = _person_mention(person, form)
+        mentions.append(m)
+        return s, m
+
+    def _o(org):
+        form = rng.choice((0, 1, 2))
+        # alias form always carries the domain so linkage is decidable
+        s, m = _org_mention(org, form)
+        mentions.append(m)
+        return s, m
+
+    def _simple(name, typ):
+        m = {"name": name, "type": typ}
+        mentions.append(m)
+        return m
+
+    def _t(s, st, p, o, ot):
+        triples.append({"s": s, "st": st, "p": p, "o": o, "ot": ot})
+
+    if kind == "WORKS_AT":
+        ps, pm = _p(fact[1])
+        os_, om = _o(fact[2])
+        sent = f"{ps} works at {os_}."
+        _t(pm["name"], "Person", "WORKS_AT", om["name"], "Organization")
+    elif kind == "WORKS_ON":
+        ps, pm = _p(fact[1])
+        proj = fact[2]
+        _simple(proj, "Project")
+        sent = f"{ps} works on Project {proj}."
+        _t(pm["name"], "Person", "WORKS_ON", proj, "Project")
+    elif kind == "MEMBER_OF":
+        ps, pm = _p(fact[1])
+        team = fact[2]
+        _simple(team, "Team")
+        sent = f"{ps} is a member of the {team} team."
+        _t(pm["name"], "Person", "MEMBER_OF", team, "Team")
+    elif kind == "MANAGES":
+        ps, pm = _p(fact[1])
+        team = fact[2]
+        _simple(team, "Team")
+        sent = f"{ps} manages the {team} team."
+        _t(pm["name"], "Person", "MANAGES", team, "Team")
+    elif kind == "AUTHORED":
+        ps, pm = _p(fact[1])
+        pr = f"Pull Request #{fact[2]}"
+        _simple(pr, "CodeChangeRequest")
+        sent = f"{ps} authored {pr}."
+        _t(pm["name"], "Person", "AUTHORED", pr, "CodeChangeRequest")
+    elif kind == "REVIEWED":
+        ps, pm = _p(fact[1])
+        pr = f"Pull Request #{fact[2]}"
+        _simple(pr, "CodeChangeRequest")
+        sent = f"{ps} reviewed {pr}."
+        _t(pm["name"], "Person", "REVIEWED", pr, "CodeChangeRequest")
+    elif kind == "BELONGS_TO_PR":
+        pr = f"Pull Request #{fact[1]}"
+        repo = fact[2]
+        _simple(pr, "CodeChangeRequest")
+        _simple(repo, "Repository")
+        sent = f"{pr} belongs to {repo}."
+        _t(pr, "CodeChangeRequest", "BELONGS_TO", repo, "Repository")
+    elif kind == "ASSIGNED_TO":
+        issue = f"Issue {fact[1]}"
+        _simple(issue, "Issue")
+        ps, pm = _p(fact[2])
+        sent = f"{issue} is assigned to {ps}."
+        _t(issue, "Issue", "ASSIGNED_TO", pm["name"], "Person")
+    elif kind == "MERGES":
+        pr = f"Pull Request #{fact[1]}"
+        b1, b2 = fact[2]
+        _simple(pr, "CodeChangeRequest")
+        _simple(b1, "Branch")
+        _simple(b2, "Branch")
+        sent = f"{pr} merges branch {b1} into branch {b2}."
+        _t(pr, "CodeChangeRequest", "MERGES_FROM", b1, "Branch")
+        _t(pr, "CodeChangeRequest", "MERGES_TO", b2, "Branch")
+    elif kind == "CREATED":
+        ps, pm = _p(fact[1])
+        repo = fact[2]
+        _simple(repo, "Repository")
+        sent = f"{ps} created the repository {repo}."
+        _t(pm["name"], "Person", "CREATED", repo, "Repository")
+    elif kind == "CREATED_EVENT":
+        ps, pm = _p(fact[1])
+        ev = fact[2]
+        _simple(ev, "Event")
+        sent = f'{ps} created the "{ev}" event.'
+        _t(pm["name"], "Person", "CREATED", ev, "Event")
+    else:  # BELONGS_TO_TOPIC
+        issue = f"Issue {fact[1]}"
+        topic = fact[2]
+        _simple(issue, "Issue")
+        _simple(topic, "Topic")
+        sent = f'{issue} belongs to the topic "{topic}".'
+        _t(issue, "Issue", "BELONGS_TO", topic, "Topic")
+
+    for t in triples:
+        t["strength"] = STRENGTH_BY_PRED.get(t["p"], DEFAULT_STRENGTH)
+        t["description"] = sent
+    return sent, mentions, triples
+
+
+# ---------------------------------------------------------------------------
+# Page assembly: golden text + HTML wrapper
+# ---------------------------------------------------------------------------
+
+_NAV = (
+    '<nav class="site-nav"><ul><li><a href="/">Home</a></li>'
+    '<li><a href="/about">About</a></li>'
+    '<li><a href="/archive">Archive</a></li></ul></nav>'
+)
+_ADS = '<div class="ads">Subscribe to our newsletter for weekly updates!</div>'
+
+
+def page_html(title: str, sentences: list[str], site: str) -> str:
+    """Wrap body content in boilerplate HTML (nav/ads/footer/script) to
+    exercise trafilatura-style main-content extraction."""
+    paras = "\n".join(f"<p>{escape(s)}</p>" for s in sentences)
+    return (
+        "<!DOCTYPE html>\n"
+        f"<html><head><title>{escape(title)}</title>"
+        '<meta charset="utf-8"></head>\n<body>\n'
+        f"{_NAV}\n{_ADS}\n"
+        f"<article>\n<h1>{escape(title)}</h1>\n{paras}\n</article>\n"
+        f'<footer>&copy; 2024 {escape(site)} &mdash; All rights reserved. '
+        '<a href="/privacy">Privacy</a></footer>\n'
+        "<script>var _q=[];_q.push(1);</script>\n"
+        "</body></html>"
+    )
+
+
+def golden_text(title: str, sentences: list[str]) -> str:
+    """The byte-exact text the html→text extractor must produce."""
+    return title + "\n\n" + "\n".join(sentences)
+
+
+def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25):
+    """Generate the corpus.
+
+    Returns dict with:
+      pages:    list of rows (url, warc_ts, html:bytes|None, text:str|None, lang)
+      goldens:  {url: golden_text}
+      mentions: planted mention records [{url, ord, name, type, email?, domain?}]
+      triples:  planted raw triples [{url, s, p, o, strength, description}]
+      world:    the World (for debugging only — pipeline must never see it)
+    """
+    rng = random.Random(seed)
+    w = make_world(rng, n_pages)
+    head_org = w.orgs[0]
+
+    # pre-generate a fact pool ~ n_pages so facts recur across pages
+    pool = [_mk_fact(rng, w, head_org, head_frac) for _ in range(max(8, n_pages))]
+
+    pages, goldens, all_mentions, all_triples = [], {}, [], []
+    for pid in range(n_pages):
+        url = f"https://site{pid % 7}.example/{pid:08d}"
+        ts = EPOCH + timedelta(seconds=137 * pid)
+        lang_roll = rng.random()
+        site = f"site{pid % 7}.example"
+        title = f"Engineering notes {pid:05d}"
+        if lang_roll < 0.04:
+            lang, noise_pool = "de", NOISE_DE
+        elif lang_roll < 0.08:
+            lang, noise_pool = "fr", NOISE_FR
+        else:
+            lang, noise_pool = "en", NOISE_SENTENCES
+
+        n_sent = rng.randint(4, 9)
+        sentences: list[str] = []
+        ord_in_page = 0
+        for _ in range(n_sent):
+            if lang != "en" or rng.random() < 0.3:
+                sentences.append(rng.choice(noise_pool))
+                continue
+            fact = rng.choice(pool)
+            sent, mentions, triples = _render_fact(rng, fact)
+            sentences.append(sent)
+            for m in mentions:
+                rec = dict(m)
+                rec["url"] = url
+                rec["ord"] = ord_in_page
+                ord_in_page += 1
+                all_mentions.append(rec)
+            for t in triples:
+                rec = dict(t)
+                rec["url"] = url
+                all_triples.append(rec)
+
+        text = golden_text(title, sentences)
+        goldens[url] = text
+        html_only = rng.random() < 0.9
+        pages.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "html": page_html(title, sentences, site).encode("utf-8") if html_only else None,
+                "text": None if html_only else text,
+                "lang": lang,
+            }
+        )
+
+    return {
+        "pages": pages,
+        "goldens": goldens,
+        "mentions": all_mentions,
+        "triples": all_triples,
+        "world": w,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python oracle: linking + canonicalization + folds via union-find.
+# Independent implementation of the same semantics the Spark pipeline
+# implements with broadcast joins + large-star/small-star CC
+# (intended semantics of systematic_merge_provider.py:152-298, 713-850).
+# ---------------------------------------------------------------------------
+
+
+class _UF:
+    def __init__(self):
+        self.parent: dict = {}
+
+    def find(self, x):
+        root = x
+        while self.parent.setdefault(root, root) != root:
+            root = self.parent[root]
+        while self.parent[x] != root:  # path compression
+            self.parent[x], x = root, self.parent[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+
+def _norm(s: str) -> str:
+    # reference normalization: lower + trim (systematic_merge_provider.py:60-62)
+    return s.strip().lower()
+
+
+def mention_match_keys(m: dict) -> list[str]:
+    """Match keys per MATCHING_RULES for a planted/extracted mention."""
+    keys = []
+    t = m["type"]
+    for rule in MATCHING_RULES.get(t, []):
+        f = rule["field"]
+        if f == "name":
+            keys.append(f"{t}|name|{_norm(m['name'])}")
+        elif f == "emails" and m.get("email"):
+            keys.append(f"{t}|emails|{_norm(m['email'])}")
+        elif f == "domain" and m.get("domain"):
+            keys.append(f"{t}|domain|{_norm(m['domain'])}")
+        # aliases / sourceSystemId / url / title / id: not observable at
+        # mention time in this corpus (no mention carries them separately)
+    return keys
+
+
+def oracle_canonicalize(mentions: list[dict]) -> dict[tuple, str]:
+    """(type, surface_name_norm) → canonical entity name.
+
+    Mentions merge iff they share any match key (transitive).  Canonical
+    name = surface name of the first mention of the component in
+    (url, ord) order — the deterministic stand-in for the reference's
+    arrival-order first-wins (systematic_merge_provider.py:717).
+    """
+    uf = _UF()
+    key_owner: dict[str, tuple] = {}
+    ordered = sorted(mentions, key=lambda m: (m["url"], m["ord"]))
+    node_ids: dict[tuple, int] = {}
+    first_name: dict[int, tuple] = {}
+    for i, m in enumerate(ordered):
+        node = (m["type"], _norm(m["name"]))
+        if node not in node_ids:
+            node_ids[node] = len(node_ids)
+            first_name[node_ids[node]] = (m["url"], m["ord"], m["name"])
+        nid = node_ids[node]
+        for k in mention_match_keys(m):
+            if k in key_owner:
+                uf.union(key_owner[k], nid)
+            else:
+                key_owner[k] = nid
+    # canonical per root = first-seen surface name among members
+    members: dict[int, list[int]] = {}
+    for node, nid in node_ids.items():
+        members.setdefault(uf.find(nid), []).append(nid)
+    canon_of_root = {
+        root: min(first_name[n] for n in nids)[2]
+        for root, nids in members.items()
+    }
+    return {
+        node: canon_of_root[uf.find(nid)] for node, nid in node_ids.items()
+    }
+
+
+def oracle_triples(corpus) -> list[dict]:
+    """Canonicalized, grouped golden triples (set semantics)."""
+    canon = oracle_canonicalize(corpus["mentions"])
+
+    grouped: dict[tuple, dict] = {}
+    for t in corpus["triples"]:
+        s = canon.get((t["st"], _norm(t["s"])), t["s"])
+        o = canon.get((t["ot"], _norm(t["o"])), t["o"])
+        k = (s, t["p"], o)
+        g = grouped.setdefault(
+            k,
+            {"subj": s, "pred": t["p"], "obj": o, "strength": 0.0,
+             "descriptions": set(), "sources": set()},
+        )
+        g["strength"] = max(g["strength"], t["strength"])
+        g["descriptions"].add(t["description"])
+        g["sources"].add(t["url"])
+    out = []
+    for g in grouped.values():
+        g["descriptions"] = sorted(g["descriptions"])
+        g["sources"] = sorted(g["sources"])
+        g["relation_id"] = hashlib.sha256(
+            f"{g['subj']}::{g['pred']}::{g['obj']}".encode()
+        ).hexdigest()
+        out.append(g)
+    return out
+
+
+def oracle_entities(corpus) -> list[dict]:
+    """Folded golden entity nodes (name, type, aliases, emails, domain, sources)."""
+    canon = oracle_canonicalize(corpus["mentions"])
+    folded: dict[tuple, dict] = {}
+    ordered = sorted(corpus["mentions"], key=lambda m: (m["url"], m["ord"]))
+    for m in ordered:
+        cname = canon[(m["type"], _norm(m["name"]))]
+        k = (m["type"], cname)
+        e = folded.setdefault(
+            k,
+            {"name": cname, "type": m["type"], "aliases": set(),
+             "emails": set(), "domain": None, "sources": set()},
+        )
+        if m["name"] != cname:
+            e["aliases"].add(m["name"])
+        if m.get("email"):
+            e["emails"].add(m["email"])
+        if m.get("domain") and e["domain"] is None:
+            e["domain"] = m["domain"]
+        e["sources"].add(m["url"])
+    out = []
+    for e in folded.values():
+        e["aliases"] = sorted(e["aliases"])
+        e["emails"] = sorted(e["emails"])
+        e["sources"] = sorted(e["sources"])
+        out.append(e)
+    return out

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Scale posture: these configs are what we would ship to a 1000-executor
+cluster job (AQE on, skew-join on, Arrow on, explicit shuffle sizing);
+`local[N]` is only the sandbox substrate. Nothing here is local-mode-only
+except the memory default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("KG_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "knowledgegraph_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    AQE is always on: coalesced shuffle partitions and skew-join splitting are
+    load-bearing for the head-entity skew this workload exhibits at scale
+    (BASELINE.json north_rule: "partitioning / shuffle / skew handled
+    explicitly ... AQE-tuned shuffles").
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    master = master or os.environ.get("KG_SPARK_MASTER", f"local[{cpus}]")
+    nshuf = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(nshuf))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
