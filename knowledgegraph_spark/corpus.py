@@ -469,12 +469,14 @@ def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25):
             for m in mentions:
                 rec = dict(m)
                 rec["url"] = url
+                rec["ts"] = ts
                 rec["ord"] = ord_in_page
                 ord_in_page += 1
                 all_mentions.append(rec)
             for t in triples:
                 rec = dict(t)
                 rec["url"] = url
+                rec["ts"] = ts
                 all_triples.append(rec)
 
         text = golden_text(title, sentences)
@@ -557,14 +559,14 @@ def oracle_canonicalize(mentions: list[dict]) -> dict[tuple, str]:
     """
     uf = _UF()
     key_owner: dict[str, tuple] = {}
-    ordered = sorted(mentions, key=lambda m: (m["url"], m["ord"]))
+    ordered = sorted(mentions, key=lambda m: (m["ts"], m["url"], m["ord"]))
     node_ids: dict[tuple, int] = {}
     first_name: dict[int, tuple] = {}
     for i, m in enumerate(ordered):
         node = (m["type"], _norm(m["name"]))
         if node not in node_ids:
             node_ids[node] = len(node_ids)
-            first_name[node_ids[node]] = (m["url"], m["ord"], m["name"])
+            first_name[node_ids[node]] = (m["ts"], m["url"], m["ord"], m["name"])
         nid = node_ids[node]
         for k in mention_match_keys(m):
             if k in key_owner:
@@ -576,7 +578,7 @@ def oracle_canonicalize(mentions: list[dict]) -> dict[tuple, str]:
     for node, nid in node_ids.items():
         members.setdefault(uf.find(nid), []).append(nid)
     canon_of_root = {
-        root: min(first_name[n] for n in nids)[2]
+        root: min(first_name[n] for n in nids)[3]
         for root, nids in members.items()
     }
     return {
@@ -616,7 +618,7 @@ def oracle_entities(corpus) -> list[dict]:
     """Folded golden entity nodes (name, type, aliases, emails, domain, sources)."""
     canon = oracle_canonicalize(corpus["mentions"])
     folded: dict[tuple, dict] = {}
-    ordered = sorted(corpus["mentions"], key=lambda m: (m["url"], m["ord"]))
+    ordered = sorted(corpus["mentions"], key=lambda m: (m["ts"], m["url"], m["ord"]))
     for m in ordered:
         cname = canon[(m["type"], _norm(m["name"]))]
         k = (m["type"], cname)

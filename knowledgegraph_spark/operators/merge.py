@@ -1,0 +1,366 @@
+"""Merge folds: component → canonical entity, triple canonicalize + group.
+
+Spark-native form of the reference's merge layer:
+
+  * group → canonical entity fold (systematic_merge_provider.py:713-850):
+    first item of the group is primary, its surface name becomes the
+    entity name; other surface names become aliases; array fields merge
+    append-unique; scalar fields first-non-null — all as ONE hash
+    aggregation with deterministic ordering by (warc_ts, url, ord), the
+    explicit stand-in for the reference's batch-arrival order
+    (systematic_merge_provider.py:717,724; divergence documented in
+    SURVEY.md §7.4.3).
+
+  * per-field merge strategies (entity_config.py:13-19, merge application
+    merge_pipeline.py:133-160) as column expressions for the incremental
+    upsert path (``merge_strategy_expr``).
+
+  * relation endpoint resolution + grouping
+    (systematic_merge_provider.py:944-1025): two equi-joins through the
+    canonical mapping, then groupBy(subj, pred, obj) with
+    collect_set / max(strength) — SURVEY.md §2.5 A4.
+
+  * relation ids: sha2("{src}::{type}::{tgt}") — the systematic scheme
+    (systematic_merge_provider.py:1193-1196).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from knowledgegraph_spark.config import (
+    APPEND_UNIQUE,
+    NODE_ARRAY_FIELDS,
+    NODE_SCALAR_FIELDS,
+    PRESERVE_EXISTING,
+    REPLACE_ALWAYS,
+    REPLACE_IF_BETTER,
+)
+from knowledgegraph_spark.operators.linking import with_node
+
+
+def merge_strategy_expr(old: Column, new: Column, strategy: str) -> Column:
+    """One merge strategy as a column expression (upsert WHEN MATCHED set)."""
+    if strategy == PRESERVE_EXISTING:
+        return F.coalesce(old, new)
+    if strategy == REPLACE_ALWAYS:
+        return F.coalesce(new, old)
+    if strategy == REPLACE_IF_BETTER:  # longer string wins (merge_pipeline.py:148-155)
+        return F.when(
+            F.length(F.coalesce(new, F.lit(""))) > F.length(F.coalesce(old, F.lit(""))),
+            new,
+        ).otherwise(old)
+    if strategy == APPEND_UNIQUE:
+        return F.array_distinct(
+            F.concat(
+                F.coalesce(old, F.array().cast("array<string>")),
+                F.coalesce(new, F.array().cast("array<string>")),
+            )
+        )
+    raise ValueError(f"unknown merge strategy: {strategy}")
+
+
+def _first_by_order(value: Column, order: Column) -> Column:
+    """First non-null ``value`` by ``order`` — min over (order, value) structs
+    (rows with null value excluded so min skips them)."""
+    return F.min(F.when(value.isNotNull(), F.struct(order.alias("o"), value.alias("v"))))[
+        "v"
+    ]
+
+
+def fold_entities(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
+    """mentions + (node → component) → canonical entity nodes.
+
+    Output columns: name, type, aliases, emails, domain, sources, plus the
+    firstSeen(Ts|Url|Ord) provenance triplet that makes the first-wins
+    ordering *portable across incremental runs* (pseudo-mentions re-enter
+    later runs at their original position, so incremental canonical choice
+    is identical to a one-shot run).
+    Deterministic: every "first wins" choice is ordered by
+    (warc_ts, url, ord).
+    """
+    m = with_node(mentions).join(assignments, "node")
+    order = F.struct(
+        F.col("warc_ts").alias("ts"), F.col("url").alias("u"), F.col("ord").alias("i")
+    )
+    agg = m.groupBy("component").agg(
+        _first_by_order(F.col("name"), order).alias("name"),
+        F.first("type").alias("type"),
+        F.sort_array(F.collect_set("name")).alias("all_names"),
+        F.sort_array(F.collect_set("email")).alias("emails"),
+        _first_by_order(F.col("domain"), order).alias("domain"),
+        # pseudo-mentions (incremental seeding, plans.pipeline) carry
+        # sentinel aliases that must not leak into provenance
+        F.sort_array(
+            F.collect_set(
+                F.when(~F.col("url").startswith("existing://"), F.col("url"))
+            )
+        ).alias("sources"),
+        F.min(order).alias("first_seen"),
+    )
+    return agg.select(
+        "name",
+        "type",
+        F.sort_array(F.array_remove(F.col("all_names"), F.col("name"))).alias("aliases"),
+        "emails",
+        "domain",
+        "sources",
+        F.col("first_seen.ts").alias("firstSeenTs"),
+        F.col("first_seen.u").alias("firstSeenUrl"),
+        F.col("first_seen.i").alias("firstSeenOrd"),
+        F.col("component"),
+    )
+
+
+def canonical_mapping(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
+    """(type, normalized surface name) → canonical entity name.
+
+    The Spark form of the reference's entity_mapping used for relation
+    endpoint resolution (systematic_merge_provider.py:944-989).
+    """
+    m = with_node(mentions).join(assignments, "node")
+    order = F.struct("warc_ts", "url", "ord")
+    canon = (
+        m.groupBy("component")
+        .agg(F.min(F.struct(order.alias("o"), F.col("name").alias("v")))["v"].alias("canonical"))
+    )
+    return (
+        with_node(mentions)
+        .select("node", "type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
+        .distinct()
+        .join(assignments, "node")
+        .join(canon, "component")
+        .select("type", "norm_name", "canonical")
+        .distinct()
+    )
+
+
+def resolve_and_fold_triples(raw_triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """raw triples → canonical, grouped triple table.
+
+    Endpoint resolution = two equi-joins against the (small) canonical
+    mapping — broadcast when it fits (Catalyst/AQE decides; the mapping is
+    bounded by the number of distinct surface forms, far smaller than the
+    triple stream).  Unresolved endpoints keep their surface form rather
+    than dropping the triple (the mapping is built from the same extraction
+    pass, so misses only occur for filtered entity types).
+    """
+    smap = mapping.select(
+        F.col("type").alias("subj_type"),
+        F.col("norm_name").alias("s_norm"),
+        F.col("canonical").alias("s_canon"),
+    )
+    omap = mapping.select(
+        F.col("type").alias("obj_type"),
+        F.col("norm_name").alias("o_norm"),
+        F.col("canonical").alias("o_canon"),
+    )
+    t = (
+        raw_triples.withColumn("s_norm", F.lower(F.trim(F.col("subj_name"))))
+        .withColumn("o_norm", F.lower(F.trim(F.col("obj_name"))))
+        .join(smap, ["subj_type", "s_norm"], "left")
+        .join(omap, ["obj_type", "o_norm"], "left")
+        .select(
+            F.coalesce(F.col("s_canon"), F.col("subj_name")).alias("subj"),
+            F.col("subj_type"),
+            F.col("pred"),
+            F.coalesce(F.col("o_canon"), F.col("obj_name")).alias("obj"),
+            F.col("obj_type"),
+            "strength",
+            "description",
+            "url",
+        )
+    )
+    grouped = t.groupBy("subj", "subj_type", "pred", "obj", "obj_type").agg(
+        F.max("strength").alias("strength"),
+        F.sort_array(F.collect_set("description")).alias("descriptions"),
+        F.sort_array(F.collect_set("url")).alias("sources"),
+    )
+    return grouped.withColumn(
+        "relation_id",
+        F.sha2(F.concat_ws("::", F.col("subj"), F.col("pred"), F.col("obj")), 256),
+    )
+
+
+def fold_node_rows(df: DataFrame) -> DataFrame:
+    """Collapse node rows sharing (type, name) into one, strategy-consistent.
+
+    Used after re-canonicalization renames absorbed entities onto their new
+    canonical name: arrays union-distinct, scalars first-by-firstSeen.
+    """
+    order = F.struct(
+        F.col("firstSeenTs").alias("ts"),
+        F.col("firstSeenUrl").alias("u"),
+        F.col("firstSeenOrd").alias("i"),
+    )
+
+    def _flat(c):
+        return F.sort_array(
+            F.array_distinct(F.flatten(F.collect_list(F.coalesce(F.col(c), F.array()))))
+        ).alias(c)
+
+    return (
+        df.groupBy("type", "name")
+        .agg(
+            _flat("aliases"),
+            _flat("emails"),
+            _flat("sources"),
+            _first_by_order(F.col("domain"), order).alias("domain"),
+            F.min(order).alias("first_seen"),
+        )
+        .select(
+            "type",
+            "name",
+            "aliases",
+            "emails",
+            "domain",
+            "sources",
+            F.col("first_seen.ts").alias("firstSeenTs"),
+            F.col("first_seen.u").alias("firstSeenUrl"),
+            F.col("first_seen.i").alias("firstSeenOrd"),
+        )
+    )
+
+
+def apply_renames_to_nodes(existing: DataFrame, renames: DataFrame) -> DataFrame:
+    """Re-canonicalization: rename absorbed entities onto their canonical.
+
+    ``renames``: (type, old_name, canonical).  An absorbed row's name moves
+    to its aliases; rows colliding on the canonical name are folded.  This
+    is the step the reference cannot do (its per-group merge only ever
+    merges INTO one existing row; two existing rows joined by new evidence
+    stay split — systematic_merge_provider.py:321-393 first-hit-wins).
+    """
+    r = renames.select(
+        "type", F.col("old_name").alias("name"), F.col("canonical")
+    )
+    renamed = (
+        existing.join(r, ["type", "name"], "left")
+        .withColumn(
+            "aliases",
+            F.when(
+                F.col("canonical").isNotNull(),
+                F.array_distinct(
+                    F.concat(F.coalesce(F.col("aliases"), F.array()), F.array(F.col("name")))
+                ),
+            ).otherwise(F.col("aliases")),
+        )
+        .withColumn("name", F.coalesce(F.col("canonical"), F.col("name")))
+        .drop("canonical")
+    )
+    return fold_node_rows(renamed)
+
+
+def apply_renames_to_triples(triples: DataFrame, renames: DataFrame) -> DataFrame:
+    """Rewrite triple endpoints through the rename map and re-group.
+
+    Renames can collide previously-distinct triples; payload arrays merge
+    and strength takes the max, then relation_id is recomputed.
+    """
+    rs = renames.select(
+        F.col("type").alias("subj_type"),
+        F.col("old_name").alias("subj"),
+        F.col("canonical").alias("s_new"),
+    )
+    ro = renames.select(
+        F.col("type").alias("obj_type"),
+        F.col("old_name").alias("obj"),
+        F.col("canonical").alias("o_new"),
+    )
+    t = (
+        triples.join(F.broadcast(rs), ["subj_type", "subj"], "left")
+        .join(F.broadcast(ro), ["obj_type", "obj"], "left")
+        .select(
+            F.coalesce(F.col("s_new"), F.col("subj")).alias("subj"),
+            "subj_type",
+            "pred",
+            F.coalesce(F.col("o_new"), F.col("obj")).alias("obj"),
+            "obj_type",
+            "strength",
+            "descriptions",
+            "sources",
+        )
+    )
+    grouped = t.groupBy("subj", "subj_type", "pred", "obj", "obj_type").agg(
+        F.max("strength").alias("strength"),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("descriptions")))).alias(
+            "descriptions"
+        ),
+        F.sort_array(F.array_distinct(F.flatten(F.collect_list("sources")))).alias(
+            "sources"
+        ),
+    )
+    return grouped.withColumn(
+        "relation_id",
+        F.sha2(F.concat_ws("::", F.col("subj"), F.col("pred"), F.col("obj")), 256),
+    )
+
+
+def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Set-oriented upsert of entity nodes by (type, name) with per-field
+    merge strategies — the engine-level equivalent of Iceberg
+    ``MERGE INTO ... WHEN MATCHED`` (kuzu_db_handler.py:170-376's
+    per-entity HTTP upserts collapsed into one relational op).
+
+    Works on any pair of frames sharing the node-table columns; the
+    parquet-backed catalog calls this then rewrites the table atomically.
+    """
+    strategies: dict[str, str] = {**NODE_SCALAR_FIELDS}
+    for f in NODE_ARRAY_FIELDS:
+        strategies[f] = APPEND_UNIQUE
+
+    e = existing.alias("e")
+    n = incoming.alias("n")
+    joined = e.join(n, ["type", "name"], "full_outer")
+    cols = [F.col("type"), F.col("name")]
+    for f, strat in strategies.items():
+        if f in existing.columns and f in incoming.columns:
+            cols.append(merge_strategy_expr(F.col(f"e.{f}"), F.col(f"n.{f}"), strat).alias(f))
+        elif f in existing.columns:
+            cols.append(F.col(f"e.{f}").alias(f))
+        elif f in incoming.columns:
+            cols.append(F.col(f"n.{f}").alias(f))
+    # firstSeen provenance: minimum of both sides (struct comparison), so
+    # the cross-run ordering key never drifts forward.
+    if "firstSeenTs" in existing.columns and "firstSeenTs" in incoming.columns:
+        def _fs(side):
+            return F.struct(
+                F.col(f"{side}.firstSeenTs").alias("ts"),
+                F.col(f"{side}.firstSeenUrl").alias("u"),
+                F.col(f"{side}.firstSeenOrd").alias("i"),
+            )
+
+        fs = F.least(
+            F.when(F.col("e.firstSeenTs").isNotNull(), _fs("e")),
+            F.when(F.col("n.firstSeenTs").isNotNull(), _fs("n")),
+        )
+        cols += [
+            fs["ts"].alias("firstSeenTs"),
+            fs["u"].alias("firstSeenUrl"),
+            fs["i"].alias("firstSeenOrd"),
+        ]
+    return joined.select(*cols)
+
+
+def upsert_triples(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Upsert triples by relation_id: arrays append-unique, strength max,
+    scalars preserve (schema.yaml:141-155 semantics)."""
+    e = existing.alias("e")
+    n = incoming.alias("n")
+    joined = e.join(n, ["relation_id"], "full_outer")
+
+    def arr(f):
+        return merge_strategy_expr(F.col(f"e.{f}"), F.col(f"n.{f}"), APPEND_UNIQUE).alias(f)
+
+    return joined.select(
+        F.col("relation_id"),
+        F.coalesce(F.col("e.subj"), F.col("n.subj")).alias("subj"),
+        F.coalesce(F.col("e.subj_type"), F.col("n.subj_type")).alias("subj_type"),
+        F.coalesce(F.col("e.pred"), F.col("n.pred")).alias("pred"),
+        F.coalesce(F.col("e.obj"), F.col("n.obj")).alias("obj"),
+        F.coalesce(F.col("e.obj_type"), F.col("n.obj_type")).alias("obj_type"),
+        F.greatest(F.col("e.strength"), F.col("n.strength")).alias("strength"),
+        arr("descriptions"),
+        arr("sources"),
+    )

@@ -1,0 +1,89 @@
+"""Warehouse catalog: parquet-backed stage tables with atomic swap + upsert.
+
+Production target is Iceberg (``MERGE INTO``, snapshot-isolated commits,
+incremental reads — SURVEY.md §1.3); this sandbox has no Iceberg runtime
+jars, so the catalog provides the same table contract over plain parquet:
+
+  * ``write``   — write-to-temp + atomic directory rename (a commit);
+  * ``upsert``  — read current + relational merge fold + swap (the
+    engine-level ``MERGE INTO ... WHEN MATCHED`` equivalent);
+  * ``read``    — plain ``spark.read.parquet``.
+
+Every mutation keeps the previous table generation until the swap, so a
+killed job never leaves a half-written table — the property the reference
+approximates with its save-per-batch JSON ledger
+(vespa_email_pipeline.py:111-127).
+
+On Iceberg, ``upsert`` becomes a single ``MERGE INTO`` SQL statement and
+``write`` a ``replace``; the call sites would not change.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.warehouse, table)
+
+    def exists(self, table: str) -> bool:
+        p = self.path(table)
+        return os.path.isdir(p) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_by: list[str] | None = None,
+        repartition_cols: list[str] | None = None,
+    ) -> None:
+        """Atomic replace: write a new generation dir, then swap it in."""
+        final = self.path(table)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        writer = df
+        if repartition_cols:
+            writer = writer.repartition(*repartition_cols)
+        w = writer.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        old = f"{final}.old-{uuid.uuid4().hex[:8]}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    def upsert(self, incoming: DataFrame, table: str, merge_fn) -> None:
+        """merge_fn(existing_df, incoming_df) -> merged_df; swap atomically.
+
+        The merged frame is fully materialized to the new generation before
+        the old one is dropped (no read-overwrite hazard).
+        """
+        if self.exists(table):
+            merged = merge_fn(self.read(table), incoming)
+        else:
+            merged = merge_fn(None, incoming) if _accepts_none(merge_fn) else incoming
+        self.write(merged, table)
+
+    def drop(self, table: str) -> None:
+        shutil.rmtree(self.path(table), ignore_errors=True)
+
+
+def _accepts_none(fn) -> bool:
+    return getattr(fn, "accepts_none", False)
