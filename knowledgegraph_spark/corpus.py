@@ -425,8 +425,83 @@ def golden_text(title: str, sentences: list[str]) -> str:
     return title + "\n\n" + "\n".join(sentences)
 
 
+def build_world_and_pool(n_pages: int, seed: int = 42, head_frac: float = 0.25):
+    """World + fact pool, a pure function of (n_pages, seed, head_frac).
+
+    Small (O(n_pages) tuples) — broadcastable to executors for distributed
+    page rendering."""
+    rng = random.Random(seed)
+    w = make_world(rng, n_pages)
+    head_org = w.orgs[0]
+    # pool capped: diversity saturates with world size; an uncapped pool
+    # would make the executor broadcast grow linearly with n_pages
+    n_facts = max(8, min(n_pages, 200_000))
+    pool = [_mk_fact(rng, w, head_org, head_frac) for _ in range(n_facts)]
+    return w, pool
+
+
+def generate_page(pid: int, pool, seed: int = 42):
+    """Render ONE page — a pure function of (pid, pool, seed).
+
+    Page-level randomness is keyed by (seed, pid) only, so pages render
+    independently in any order on any executor (distributed generation for
+    the large-scale benches) while remaining byte-identical to the
+    sequential path.
+
+    Returns (page_row, golden_text, mentions, triples).
+    """
+    rng = random.Random((seed + 1) * 1_000_003 + pid)
+    url = f"https://site{pid % 7}.example/{pid:08d}"
+    ts = EPOCH + timedelta(seconds=137 * pid)
+    site = f"site{pid % 7}.example"
+    title = f"Engineering notes {pid:05d}"
+    lang_roll = rng.random()
+    if lang_roll < 0.04:
+        lang, noise_pool = "de", NOISE_DE
+    elif lang_roll < 0.08:
+        lang, noise_pool = "fr", NOISE_FR
+    else:
+        lang, noise_pool = "en", NOISE_SENTENCES
+
+    n_sent = rng.randint(4, 9)
+    sentences: list[str] = []
+    page_mentions: list[dict] = []
+    page_triples: list[dict] = []
+    ord_in_page = 0
+    for _ in range(n_sent):
+        if lang != "en" or rng.random() < 0.3:
+            sentences.append(rng.choice(noise_pool))
+            continue
+        fact = rng.choice(pool)
+        sent, mentions, triples = _render_fact(rng, fact)
+        sentences.append(sent)
+        for m in mentions:
+            rec = dict(m)
+            rec["url"] = url
+            rec["ts"] = ts
+            rec["ord"] = ord_in_page
+            ord_in_page += 1
+            page_mentions.append(rec)
+        for t in triples:
+            rec = dict(t)
+            rec["url"] = url
+            rec["ts"] = ts
+            page_triples.append(rec)
+
+    text = golden_text(title, sentences)
+    html_only = rng.random() < 0.9
+    page = {
+        "url": url,
+        "warc_ts": ts,
+        "html": page_html(title, sentences, site).encode("utf-8") if html_only else None,
+        "text": None if html_only else text,
+        "lang": lang,
+    }
+    return page, text, page_mentions, page_triples
+
+
 def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25):
-    """Generate the corpus.
+    """Generate the corpus (driver-side; for tests and goldens).
 
     Returns dict with:
       pages:    list of rows (url, warc_ts, html:bytes|None, text:str|None, lang)
@@ -435,63 +510,14 @@ def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25):
       triples:  planted raw triples [{url, s, p, o, strength, description}]
       world:    the World (for debugging only — pipeline must never see it)
     """
-    rng = random.Random(seed)
-    w = make_world(rng, n_pages)
-    head_org = w.orgs[0]
-
-    # pre-generate a fact pool ~ n_pages so facts recur across pages
-    pool = [_mk_fact(rng, w, head_org, head_frac) for _ in range(max(8, n_pages))]
-
+    w, pool = build_world_and_pool(n_pages, seed, head_frac)
     pages, goldens, all_mentions, all_triples = [], {}, [], []
     for pid in range(n_pages):
-        url = f"https://site{pid % 7}.example/{pid:08d}"
-        ts = EPOCH + timedelta(seconds=137 * pid)
-        lang_roll = rng.random()
-        site = f"site{pid % 7}.example"
-        title = f"Engineering notes {pid:05d}"
-        if lang_roll < 0.04:
-            lang, noise_pool = "de", NOISE_DE
-        elif lang_roll < 0.08:
-            lang, noise_pool = "fr", NOISE_FR
-        else:
-            lang, noise_pool = "en", NOISE_SENTENCES
-
-        n_sent = rng.randint(4, 9)
-        sentences: list[str] = []
-        ord_in_page = 0
-        for _ in range(n_sent):
-            if lang != "en" or rng.random() < 0.3:
-                sentences.append(rng.choice(noise_pool))
-                continue
-            fact = rng.choice(pool)
-            sent, mentions, triples = _render_fact(rng, fact)
-            sentences.append(sent)
-            for m in mentions:
-                rec = dict(m)
-                rec["url"] = url
-                rec["ts"] = ts
-                rec["ord"] = ord_in_page
-                ord_in_page += 1
-                all_mentions.append(rec)
-            for t in triples:
-                rec = dict(t)
-                rec["url"] = url
-                rec["ts"] = ts
-                all_triples.append(rec)
-
-        text = golden_text(title, sentences)
-        goldens[url] = text
-        html_only = rng.random() < 0.9
-        pages.append(
-            {
-                "url": url,
-                "warc_ts": ts,
-                "html": page_html(title, sentences, site).encode("utf-8") if html_only else None,
-                "text": None if html_only else text,
-                "lang": lang,
-            }
-        )
-
+        page, text, ms, ts_ = generate_page(pid, pool, seed)
+        pages.append(page)
+        goldens[page["url"]] = text
+        all_mentions.extend(ms)
+        all_triples.extend(ts_)
     return {
         "pages": pages,
         "goldens": goldens,
@@ -499,6 +525,36 @@ def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25):
         "triples": all_triples,
         "world": w,
     }
+
+
+def pages_dataframe(spark, n_pages: int, seed: int = 42, head_frac: float = 0.25, partitions: int | None = None):
+    """Distributed corpus generation: pages rendered on executors.
+
+    spark.range(n_pages) → mapInPandas(render) with the (small) fact pool
+    broadcast — generation scales with the cluster like any other stage,
+    so benchmark inputs need never bottleneck on the driver.
+    """
+    from knowledgegraph_spark.config import PAGES_SCHEMA
+
+    w, pool = build_world_and_pool(n_pages, seed, head_frac)
+    sc = spark.sparkContext
+    pool_bc = sc.broadcast(pool)
+    parts = partitions or sc.defaultParallelism
+
+    def render(batches):
+        import pandas as pd
+
+        p = pool_bc.value
+        for pdf in batches:
+            rows = [generate_page(int(pid), p, seed)[0] for pid in pdf["id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return (
+        spark.range(0, n_pages, numPartitions=parts)
+        .mapInPandas(render, schema=PAGES_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------

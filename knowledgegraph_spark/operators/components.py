@@ -97,14 +97,15 @@ def connected_components(
     """
     if checkpointer is None:
         def checkpointer(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+            # lazy: materialized by the fingerprint action right after —
+            # one job per round instead of two (eager would double-run)
+            return df.localCheckpoint(eager=False)
 
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    e = checkpointer(e)
     prev_fp = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e))

@@ -67,32 +67,48 @@ def mention_match_keys(mentions: DataFrame) -> DataFrame:
     """mentions → (node, match_key, priority, confidence), distinct.
 
     One output row per (mention-node, applicable rule with a non-null
-    value).  match_key = ``type|field|normalized_value`` so keys are
-    scoped per entity type and rule field, mirroring the reference's
+    value).  match_key = ``type|key_space|normalized_value`` so keys are
+    scoped per entity type and rule key space, mirroring the reference's
     per-type rule tables (entity_config.yaml:495-615).
+
+    Single-pass plan: every rule becomes one optional struct in a per-row
+    array → filter nulls → explode.  One scan + one explode instead of a
+    |rules|-way union (the union form re-scanned the extraction output
+    once per rule — ~20 scans).
     """
     m = with_node(mentions)
-    branches = []
+    rule_structs = []
     for etype, rules in MATCHING_RULES.items():
         for rule in rules:
             src_col = _RULE_SOURCE_COL.get(rule["field"])
             if src_col is None or src_col not in m.columns:
                 continue
-            branches.append(
-                m.filter((F.col("type") == etype) & F.col(src_col).isNotNull())
-                .select(
-                    "node",
-                    F.concat_ws(
-                        "|", F.col("type"), F.lit(_key_space(rule["field"])), _norm(F.col(src_col))
-                    ).alias("match_key"),
-                    F.lit(rule["priority"]).alias("priority"),
-                    F.lit(float(rule["confidence"])).alias("confidence"),
+            rule_structs.append(
+                F.when(
+                    (F.col("type") == etype) & F.col(src_col).isNotNull(),
+                    F.struct(
+                        F.concat_ws(
+                            "|",
+                            F.col("type"),
+                            F.lit(_key_space(rule["field"])),
+                            _norm(F.col(src_col)),
+                        ).alias("match_key"),
+                        F.lit(rule["priority"]).alias("priority"),
+                        F.lit(float(rule["confidence"])).alias("confidence"),
+                    ),
                 )
             )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionByName(b)
-    return out.distinct()
+    keys = F.filter(F.array(*rule_structs), lambda s: s.isNotNull())
+    return (
+        m.select("node", F.explode(keys).alias("k"))
+        .select(
+            "node",
+            F.col("k.match_key").alias("match_key"),
+            F.col("k.priority").alias("priority"),
+            F.col("k.confidence").alias("confidence"),
+        )
+        .distinct()
+    )
 
 
 def match_edges(keys: DataFrame) -> DataFrame:

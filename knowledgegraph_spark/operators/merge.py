@@ -113,18 +113,30 @@ def fold_entities(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
     )
 
 
-def canonical_mapping(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
+def canonical_mapping(
+    mentions: DataFrame, assignments: DataFrame, canon: DataFrame | None = None
+) -> DataFrame:
     """(type, normalized surface name) → canonical entity name.
 
     The Spark form of the reference's entity_mapping used for relation
     endpoint resolution (systematic_merge_provider.py:944-989).
+
+    ``canon``: optional precomputed (component, canonical) frame — pass
+    ``fold_entities`` output to avoid re-aggregating the same fold.
     """
-    m = with_node(mentions).join(assignments, "node")
-    order = F.struct("warc_ts", "url", "ord")
-    canon = (
-        m.groupBy("component")
-        .agg(F.min(F.struct(order.alias("o"), F.col("name").alias("v")))["v"].alias("canonical"))
-    )
+    if canon is not None:
+        canon = canon.select("component", F.col("name").alias("canonical"))
+    else:
+        m = with_node(mentions).join(assignments, "node")
+        order = F.struct("warc_ts", "url", "ord")
+        canon = (
+            m.groupBy("component")
+            .agg(
+                F.min(F.struct(order.alias("o"), F.col("name").alias("v")))["v"].alias(
+                    "canonical"
+                )
+            )
+        )
     return (
         with_node(mentions)
         .select("node", "type", F.lower(F.trim(F.col("name"))).alias("norm_name"))

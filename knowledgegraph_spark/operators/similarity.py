@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Replaces the reference's Kuzu vector-index top-k (query_search.py:49-111,
+``QUERY_VECTOR_INDEX`` with k≤50, efs=200) with:
+
+  * brute-force cosine top-k — exact; Catalyst compiles
+    orderBy(desc).limit(k) to TakeOrderedAndProject (no global sort), so
+    the scan is one pass + a k-row heap per partition.  The correctness
+    baseline and perfectly adequate below ~10^8 vectors per query batch.
+  * LSH-bucketed ANN (random hyperplane signs) — the scale path: vectors
+    hash to sign-pattern buckets; a query probes only its bucket(s).
+    Build once (one pass), probe cost ∝ bucket size.
+  * per-label / per-query-batch variants via window rank.
+
+All arithmetic is JVM-side (zip_with + aggregate) — no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    # try_divide: zero-norm vectors (e.g. empty-text embeddings) yield NULL
+    # instead of an ANSI division error; NULLs sort last in top-k.
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def topk_cosine(
+    vectors: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        vectors.select(
+            F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim")
+        )
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def topk_cosine_batch(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k per query for a batch of query vectors (broadcast cross join +
+    window rank — TakeOrdered per query key)."""
+    joined = vectors.crossJoin(F.broadcast(queries)).select(
+        F.col(qid_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(qvec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine_sim", "rank")
+    )
+
+
+def hyperplane_signatures(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — sign-pattern LSH bucket per vector.
+
+    ``planes``: deterministic pseudo-random hyperplanes (caller seeds).
+    Cosine-similar vectors collide with probability 1 - θ/π per plane.
+    """
+    bits = []
+    for p in planes:
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(F.col(vec_col), pc) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return vectors.select(F.col(id_col), F.concat(*bits).alias("bucket"), F.col(vec_col))
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: score only the query's LSH bucket.
+
+    Recall < 1 by construction (bucket boundary misses); multi-probe =
+    union over neighboring buckets if needed.  At 10^9+ vectors this turns
+    a full-scan top-k into a bucket-sized scan; bucket skew is bounded by
+    the number of planes.
+    """
+    sigs = hyperplane_signatures(vectors, planes, id_col, vec_col)
+    qbits = "".join(
+        "1" if sum(q * p for q, p in zip(query_vec, plane)) >= 0 else "0"
+        for plane in planes
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        sigs.filter(F.col("bucket") == qbits)
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
+
+    Pairs are only scored within a bucket — the embedding analogue of
+    MinHash-LSH dedup.  Exact cosine verifies each candidate.
+    """
+    sigs = hyperplane_signatures(vectors, planes, id_col, vec_col)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("va"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("bucket"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -120,7 +120,9 @@ def build_kg(
         assignments = assignments.persist()
 
     entities = fold_entities(mentions, assignments)
-    mapping = canonical_mapping(mentions, assignments)
+    if persist:
+        entities = entities.persist()
+    mapping = canonical_mapping(mentions, assignments, canon=entities)
     triples = resolve_and_fold_triples(raw_triples, mapping)
     return KGResult(entities=entities, triples=triples, mentions=mentions, assignments=assignments)
 
@@ -178,7 +180,7 @@ def run_pipeline(
     assignments = cat.read("stage_assignments")
 
     entities_f = fold_entities(mentions, assignments)
-    mapping = canonical_mapping(mentions, assignments)
+    mapping = canonical_mapping(mentions, assignments, canon=entities_f)
     triples = resolve_and_fold_triples(raw_triples, mapping)
 
     # Materialize fold outputs BEFORE the upsert swaps: these plans read the

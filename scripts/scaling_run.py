@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence: the same KG pipeline job at two
+parallelism levels on identical input.
+
+Sandbox proxy for BASELINE.json's "N → 4N executors, throughput scaling
+efficiency ≥ 0.8" criterion (no real cluster available).  This host
+carries persistent external load (~8-12 cores of 32 busy from outside
+this session — see BENCH/BASELINE.md), so the honest core pair is
+local[2] vs local[8]: both fit in the free cores; local[32] would be
+oversubscribed by the co-tenant load, measuring contention, not the
+engine.
+
+Protocol:
+  1. corpus generated ONCE (distributed render) and written to parquet —
+     both levels read the identical input;
+  2. each level runs in a fresh JVM subprocess;
+  3. Python worker pool warmed outside the timed region;
+  4. timed region = full build_kg (extract → link → CC → fold) + counts.
+
+Appends to BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from knowledgegraph_spark import get_spark
+from knowledgegraph_spark.corpus import pages_dataframe
+spark = get_spark("gen", master="local[8]", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+pages_dataframe(spark, int(sys.argv[1])).write.mode("overwrite").parquet(sys.argv[2])
+spark.stop()
+"""
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from knowledgegraph_spark import get_spark
+from knowledgegraph_spark.plans.pipeline import build_kg
+from knowledgegraph_spark.operators.extraction import extract_mentions_and_triples
+from knowledgegraph_spark.operators.html_text import with_extracted_text
+cpus = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 4),
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+pages = spark.read.parquet(path)
+extract_mentions_and_triples(with_extracted_text(pages.limit(256))).count()  # warm workers
+t0 = time.time()
+res = build_kg(spark, pages)
+nt = res.triples.count(); ne = res.entities.count()
+dt = time.time() - t0
+print(json.dumps({{"cpus": cpus, "sec": dt, "n_triples": nt, "n_entities": ne,
+                   "triples_per_sec": nt / dt}}))
+spark.stop()
+"""
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    lo_cpus = int(os.environ.get("KG_SCALE_LO", "2"))
+    hi_cpus = int(os.environ.get("KG_SCALE_HI", "8"))
+
+    tmp = tempfile.mkdtemp(prefix="kg_scale_")
+    pages_path = os.path.join(tmp, "pages")
+    try:
+        subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=REPO), str(n_pages), pages_path],
+            check=True, cwd=REPO, timeout=3600, capture_output=True, text=True,
+        )
+
+        def run_level(cpus: int) -> dict:
+            out = subprocess.run(
+                [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), pages_path],
+                capture_output=True, text=True, cwd=REPO, timeout=3600,
+            )
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(out.stderr[-2000:])
+            return json.loads(lines[-1])
+
+        lo = run_level(lo_cpus)
+        hi = run_level(hi_cpus)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    eff = hi["triples_per_sec"] / (
+        (hi_cpus / lo_cpus) * lo["triples_per_sec"]
+    )
+    summary = {
+        "n_pages": n_pages,
+        f"local{lo_cpus}": {"sec": round(lo["sec"], 2), "tps": round(lo["triples_per_sec"], 1)},
+        f"local{hi_cpus}": {"sec": round(hi["sec"], 2), "tps": round(hi["triples_per_sec"], 1)},
+        "scaling_efficiency": round(eff, 3),
+        "n_triples": hi["n_triples"],
+    }
+    print(json.dumps(summary))
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    header = not os.path.exists(md)
+    with open(md, "a") as f:
+        if header:
+            f.write(
+                "# BENCH/BASELINE — measured numbers\n\n"
+                "Scaling evidence per BASELINE.json: same job, identical parquet\n"
+                "input, two parallelism levels in fresh JVMs (sandbox proxy for\n"
+                "N vs 4N executors — no real cluster in this environment).\n"
+                "NOTE: this host carries persistent external load (~8-12 of 32\n"
+                "cores busy from co-tenants; /proc/loadavg ~8-12 at idle), so the\n"
+                "core pair is chosen to fit the free cores (local[2] vs local[8]\n"
+                "by default); local[32] measures co-tenant contention, not the\n"
+                "engine.\n\n"
+                "| when | pages | cores lo | sec lo | t/s lo | cores hi | sec hi | t/s hi | efficiency lo→hi |\n"
+                "|---|---|---|---|---|---|---|---|---|\n"
+            )
+        f.write(
+            f"| {stamp} | {n_pages} | {lo_cpus} | {lo['sec']:.1f} | {lo['triples_per_sec']:.1f} "
+            f"| {hi_cpus} | {hi['sec']:.1f} | {hi['triples_per_sec']:.1f} | {eff:.3f} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
