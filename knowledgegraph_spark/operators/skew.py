@@ -1,0 +1,63 @@
+"""Skew handling: salted two-phase aggregation + head-key detection.
+
+The north_rule requires head-entity skew handled explicitly: a frequent
+organization appearing in a large fraction of pages makes groupBy(name)
+partitions lopsided.  Remedies, composable:
+
+  * AQE skew-join splitting — on by default (session.py).
+  * ``salted_agg`` — two-phase aggregation: key+salt partial agg, then
+    final agg on the key.  Bounds any single task at ~1/n_salts of the
+    head key's rows.  Use for collect_set/array folds where the partial
+    results stay small relative to inputs.
+  * ``head_keys`` — approx frequency probe to decide which keys need the
+    salted path (sampling + count; at scale use this on a 1% sample).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def head_keys(df: DataFrame, key_cols: Sequence[str], min_count: int) -> DataFrame:
+    """Keys whose row count ≥ min_count — candidates for salting."""
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("key_count"))
+        .filter(F.col("key_count") >= min_count)
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    partial_aggs: Callable[[], list[Column]],
+    final_aggs: Callable[[], list[Column]],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase (salted) aggregation.
+
+    ``partial_aggs()`` aggregates raw rows within (key, salt);
+    ``final_aggs()`` merges the per-salt partials per key.  The salt is
+    derived from a high-cardinality column when given (deterministic) or
+    a random int otherwise.
+
+    Example — skew-proof distinct-source count:
+        salted_agg(df, ["name"],
+                   lambda: [F.collect_set("url").alias("urls")],
+                   lambda: [F.array_distinct(F.flatten(F.collect_list("urls"))).alias("urls")])
+    """
+    salt = (
+        F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salts))
+        if salt_source
+        else (F.rand() * n_salts).cast("int")
+    )
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(*partial_aggs())
+    )
+    return partial.groupBy(*key_cols).agg(*final_aggs()).drop("__salt")
