@@ -78,8 +78,17 @@ def main():
         )
 
         def run_level(cpus: int) -> dict:
+            # taskset pins the whole JVM (task threads + GC + shuffle IO) to
+            # exactly `cpus` cores — local[N] alone only caps task slots,
+            # and JVM utility threads would otherwise spill onto extra
+            # cores, corrupting the N-vs-4N comparison.
+            n_host = os.cpu_count() or 32
+            cmd = [
+                "taskset", "-c", f"{n_host - cpus}-{n_host - 1}",
+                sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), pages_path,
+            ]
             out = subprocess.run(
-                [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), pages_path],
+                cmd,
                 capture_output=True, text=True, cwd=REPO, timeout=3600,
             )
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
