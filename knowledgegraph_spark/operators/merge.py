@@ -69,7 +69,11 @@ def _first_by_order(value: Column, order: Column) -> Column:
     ]
 
 
-def fold_entities(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
+def fold_entities(
+    mentions: DataFrame,
+    assignments: DataFrame,
+    provenance_cap: int | None = None,
+) -> DataFrame:
     """mentions + (node → component) → canonical entity nodes.
 
     Output columns: name, type, aliases, emails, domain, sources, plus the
@@ -79,6 +83,14 @@ def fold_entities(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
     is identical to a one-shot run).
     Deterministic: every "first wins" choice is ordered by
     (warc_ts, url, ord).
+
+    ``provenance_cap``: at web scale a head entity is mentioned on a large
+    fraction of all pages; an uncapped ``sources`` array grows linearly
+    with the corpus and turns its reducer into a straggler.  When set,
+    sources keep the ``cap`` lexicographically-smallest urls (deterministic)
+    and ``n_sources`` records the exact total.  Default None = full
+    provenance (fixture-scale parity with the reference's append-unique
+    semantics).
     """
     m = with_node(mentions).join(assignments, "node")
     order = F.struct(
@@ -99,13 +111,18 @@ def fold_entities(mentions: DataFrame, assignments: DataFrame) -> DataFrame:
         ).alias("sources"),
         F.min(order).alias("first_seen"),
     )
+    sources = F.col("sources")
+    n_sources = F.size("sources")
+    if provenance_cap is not None:
+        sources = F.slice(F.col("sources"), 1, provenance_cap)
     return agg.select(
         "name",
         "type",
         F.sort_array(F.array_remove(F.col("all_names"), F.col("name"))).alias("aliases"),
         "emails",
         "domain",
-        "sources",
+        sources.alias("sources"),
+        n_sources.alias("n_sources"),
         F.col("first_seen.ts").alias("firstSeenTs"),
         F.col("first_seen.u").alias("firstSeenUrl"),
         F.col("first_seen.i").alias("firstSeenOrd"),
@@ -148,7 +165,11 @@ def canonical_mapping(
     )
 
 
-def resolve_and_fold_triples(raw_triples: DataFrame, mapping: DataFrame) -> DataFrame:
+def resolve_and_fold_triples(
+    raw_triples: DataFrame,
+    mapping: DataFrame,
+    provenance_cap: int | None = None,
+) -> DataFrame:
     """raw triples → canonical, grouped triple table.
 
     Endpoint resolution = two equi-joins against the (small) canonical
@@ -189,6 +210,10 @@ def resolve_and_fold_triples(raw_triples: DataFrame, mapping: DataFrame) -> Data
         F.sort_array(F.collect_set("description")).alias("descriptions"),
         F.sort_array(F.collect_set("url")).alias("sources"),
     )
+    if provenance_cap is not None:
+        grouped = grouped.withColumn(
+            "n_sources", F.size("sources")
+        ).withColumn("sources", F.slice(F.col("sources"), 1, provenance_cap))
     return grouped.withColumn(
         "relation_id",
         F.sha2(F.concat_ws("::", F.col("subj"), F.col("pred"), F.col("obj")), 256),
@@ -212,27 +237,30 @@ def fold_node_rows(df: DataFrame) -> DataFrame:
             F.array_distinct(F.flatten(F.collect_list(F.coalesce(F.col(c), F.array()))))
         ).alias(c)
 
-    return (
-        df.groupBy("type", "name")
-        .agg(
-            _flat("aliases"),
-            _flat("emails"),
-            _flat("sources"),
-            _first_by_order(F.col("domain"), order).alias("domain"),
-            F.min(order).alias("first_seen"),
+    aggs = [
+        _flat("aliases"),
+        _flat("emails"),
+        _flat("sources"),
+        _first_by_order(F.col("domain"), order).alias("domain"),
+        F.min(order).alias("first_seen"),
+    ]
+    sel = [
+        "type",
+        "name",
+        "aliases",
+        "emails",
+        "domain",
+        "sources",
+        F.col("first_seen.ts").alias("firstSeenTs"),
+        F.col("first_seen.u").alias("firstSeenUrl"),
+        F.col("first_seen.i").alias("firstSeenOrd"),
+    ]
+    if "n_sources" in df.columns:
+        aggs.append(F.max("n_sources").alias("max_n_sources"))
+        sel.append(
+            F.greatest(F.size("sources"), F.col("max_n_sources")).alias("n_sources")
         )
-        .select(
-            "type",
-            "name",
-            "aliases",
-            "emails",
-            "domain",
-            "sources",
-            F.col("first_seen.ts").alias("firstSeenTs"),
-            F.col("first_seen.u").alias("firstSeenUrl"),
-            F.col("first_seen.i").alias("firstSeenOrd"),
-        )
-    )
+    return df.groupBy("type", "name").agg(*aggs).select(*sel)
 
 
 def apply_renames_to_nodes(existing: DataFrame, renames: DataFrame) -> DataFrame:
@@ -333,6 +361,19 @@ def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
             cols.append(F.col(f"e.{f}").alias(f))
         elif f in incoming.columns:
             cols.append(F.col(f"n.{f}").alias(f))
+    # n_sources: exact when provenance is uncapped (size of the merged
+    # set); with a cap it is a lower bound (overlap across runs unknown).
+    if "n_sources" in existing.columns and "n_sources" in incoming.columns:
+        merged_sources = merge_strategy_expr(
+            F.col("e.sources"), F.col("n.sources"), APPEND_UNIQUE
+        )
+        cols.append(
+            F.greatest(
+                F.size(merged_sources),
+                F.coalesce(F.col("e.n_sources"), F.lit(0)),
+                F.coalesce(F.col("n.n_sources"), F.lit(0)),
+            ).alias("n_sources")
+        )
     # firstSeen provenance: minimum of both sides (struct comparison), so
     # the cross-run ordering key never drifts forward.
     if "firstSeenTs" in existing.columns and "firstSeenTs" in incoming.columns:

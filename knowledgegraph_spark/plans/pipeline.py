@@ -89,6 +89,7 @@ def build_kg(
     pages: DataFrame,
     existing_entities: DataFrame | None = None,
     persist: bool = True,
+    provenance_cap: int | None = None,
 ) -> KGResult:
     """One-shot (or incremental, when ``existing_entities`` given) build.
 
@@ -119,11 +120,11 @@ def build_kg(
     if persist:
         assignments = assignments.persist()
 
-    entities = fold_entities(mentions, assignments)
+    entities = fold_entities(mentions, assignments, provenance_cap=provenance_cap)
     if persist:
         entities = entities.persist()
     mapping = canonical_mapping(mentions, assignments, canon=entities)
-    triples = resolve_and_fold_triples(raw_triples, mapping)
+    triples = resolve_and_fold_triples(raw_triples, mapping, provenance_cap=provenance_cap)
     return KGResult(entities=entities, triples=triples, mentions=mentions, assignments=assignments)
 
 
@@ -132,6 +133,7 @@ def run_pipeline(
     pages: DataFrame,
     warehouse: str,
     session_id: str = "session-0",
+    provenance_cap: int | None = None,
 ) -> Catalog:
     """Materializing run: stage tables + idempotent commits + ledger.
 
@@ -179,9 +181,9 @@ def run_pipeline(
     cat.write(assignments, "stage_assignments")
     assignments = cat.read("stage_assignments")
 
-    entities_f = fold_entities(mentions, assignments)
+    entities_f = fold_entities(mentions, assignments, provenance_cap=provenance_cap)
     mapping = canonical_mapping(mentions, assignments, canon=entities_f)
-    triples = resolve_and_fold_triples(raw_triples, mapping)
+    triples = resolve_and_fold_triples(raw_triples, mapping, provenance_cap=provenance_cap)
 
     # Materialize fold outputs BEFORE the upsert swaps: these plans read the
     # current entity_nodes generation (pseudo-mention lineage), so the swap
