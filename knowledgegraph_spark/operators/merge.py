@@ -73,6 +73,7 @@ def fold_entities(
     mentions: DataFrame,
     assignments: DataFrame,
     provenance_cap: int | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """mentions + (node → component) → canonical entity nodes.
 
@@ -91,26 +92,52 @@ def fold_entities(
     and ``n_sources`` records the exact total.  Default None = full
     provenance (fixture-scale parity with the reference's append-unique
     semantics).
+
+    ``n_salts``: head-entity skew guard (north_rule salted-key
+    repartitioning).  The fold runs two-phase: partial aggregation on
+    (component, salt) bounds any single task to ~1/n_salts of a head
+    component's mentions, then a cheap final merge of the partials.  All
+    merge functions are associative+commutative (min / set-union), so the
+    result is bit-identical to the single-phase fold.  0 disables.
     """
     m = with_node(mentions).join(assignments, "node")
     order = F.struct(
         F.col("warc_ts").alias("ts"), F.col("url").alias("u"), F.col("ord").alias("i")
     )
-    agg = m.groupBy("component").agg(
-        _first_by_order(F.col("name"), order).alias("name"),
-        F.first("type").alias("type"),
-        F.sort_array(F.collect_set("name")).alias("all_names"),
-        F.sort_array(F.collect_set("email")).alias("emails"),
-        _first_by_order(F.col("domain"), order).alias("domain"),
-        # pseudo-mentions (incremental seeding, plans.pipeline) carry
-        # sentinel aliases that must not leak into provenance
-        F.sort_array(
-            F.collect_set(
-                F.when(~F.col("url").startswith("existing://"), F.col("url"))
-            )
-        ).alias("sources"),
-        F.min(order).alias("first_seen"),
-    )
+    src_url = F.when(~F.col("url").startswith("existing://"), F.col("url"))
+    if n_salts and n_salts > 1:
+        partial = m.withColumn(
+            "__salt", F.pmod(F.xxhash64("url", "ord"), F.lit(n_salts))
+        ).groupBy("component", "__salt").agg(
+            F.min(F.when(F.col("name").isNotNull(), F.struct(order.alias("o"), F.col("name").alias("v")))).alias("p_name"),
+            F.first("type").alias("type"),
+            F.collect_set("name").alias("p_names"),
+            F.collect_set("email").alias("p_emails"),
+            F.min(F.when(F.col("domain").isNotNull(), F.struct(order.alias("o"), F.col("domain").alias("v")))).alias("p_dom"),
+            F.collect_set(src_url).alias("p_sources"),
+            F.min(order).alias("p_first"),
+        )
+        agg = partial.groupBy("component").agg(
+            F.min("p_name")["v"].alias("name"),
+            F.first("type").alias("type"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_names")))).alias("all_names"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_emails")))).alias("emails"),
+            F.min("p_dom")["v"].alias("domain"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_sources")))).alias("sources"),
+            F.min("p_first").alias("first_seen"),
+        )
+    else:
+        agg = m.groupBy("component").agg(
+            _first_by_order(F.col("name"), order).alias("name"),
+            F.first("type").alias("type"),
+            F.sort_array(F.collect_set("name")).alias("all_names"),
+            F.sort_array(F.collect_set("email")).alias("emails"),
+            _first_by_order(F.col("domain"), order).alias("domain"),
+            # pseudo-mentions (incremental seeding, plans.pipeline) carry
+            # sentinel aliases that must not leak into provenance
+            F.sort_array(F.collect_set(src_url)).alias("sources"),
+            F.min(order).alias("first_seen"),
+        )
     sources = F.col("sources")
     n_sources = F.size("sources")
     if provenance_cap is not None:
@@ -169,6 +196,7 @@ def resolve_and_fold_triples(
     raw_triples: DataFrame,
     mapping: DataFrame,
     provenance_cap: int | None = None,
+    n_salts: int = 8,
 ) -> DataFrame:
     """raw triples → canonical, grouped triple table.
 
@@ -205,11 +233,28 @@ def resolve_and_fold_triples(
             "url",
         )
     )
-    grouped = t.groupBy("subj", "subj_type", "pred", "obj", "obj_type").agg(
-        F.max("strength").alias("strength"),
-        F.sort_array(F.collect_set("description")).alias("descriptions"),
-        F.sort_array(F.collect_set("url")).alias("sources"),
-    )
+    keys = ["subj", "subj_type", "pred", "obj", "obj_type"]
+    if n_salts and n_salts > 1:
+        # two-phase salted fold: a head triple asserted on a large fraction
+        # of pages would otherwise serialize its reducer (see fold_entities)
+        partial = t.withColumn(
+            "__salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
+        ).groupBy(*keys, "__salt").agg(
+            F.max("strength").alias("p_strength"),
+            F.collect_set("description").alias("p_desc"),
+            F.collect_set("url").alias("p_src"),
+        )
+        grouped = partial.groupBy(*keys).agg(
+            F.max("p_strength").alias("strength"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_desc")))).alias("descriptions"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_src")))).alias("sources"),
+        )
+    else:
+        grouped = t.groupBy(*keys).agg(
+            F.max("strength").alias("strength"),
+            F.sort_array(F.collect_set("description")).alias("descriptions"),
+            F.sort_array(F.collect_set("url")).alias("sources"),
+        )
     if provenance_cap is not None:
         grouped = grouped.withColumn(
             "n_sources", F.size("sources")
