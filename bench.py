@@ -47,8 +47,13 @@ def _pipeline_bench(spark, n_pages: int, seed: int = 42):
     n_triples = res.triples.count()
     n_entities = res.entities.count()
     dt = time.time() - t0
+    # raw extracted triples = actual work volume (distinct triples saturate
+    # with the synthetic world size; throughput must not)
+    from pyspark.sql import functions as F
+
+    n_raw = res.extracted.filter(F.col("kind") == "triple").count()
     pages.unpersist()
-    return n_triples, n_entities, dt
+    return n_triples, n_entities, dt, n_raw
 
 
 def run(sf_dir: str, cpus: int, n_pages: int | None = None):
@@ -73,10 +78,10 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
 
     queries = {}
 
-    # headline: full pipeline triples/sec
-    n_triples, n_entities, dt = _pipeline_bench(spark, n_pages)
+    # headline: full pipeline triples/sec (raw extracted triples / wall)
+    n_triples, n_entities, dt, n_raw = _pipeline_bench(spark, n_pages)
     queries["kg_pipeline"] = round(dt, 3)
-    triples_per_sec = n_triples / dt if dt > 0 else 0.0
+    triples_per_sec = n_raw / dt if dt > 0 else 0.0
 
     # operator-level headliners over driver testdata
     headliners = [
@@ -104,6 +109,7 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
         "sf": sf,
         "n_pages": n_pages,
         "n_triples": n_triples,
+        "n_raw_triples": n_raw,
         "n_entities": n_entities,
         "cpus": cpus,
     }

@@ -55,6 +55,7 @@ class KGResult:
     triples: DataFrame
     mentions: DataFrame
     assignments: DataFrame
+    extracted: DataFrame | None = None  # unified mention+triple rows (persisted)
 
 
 def _existing_as_mentions(entities: DataFrame) -> DataFrame:
@@ -125,7 +126,13 @@ def build_kg(
         entities = entities.persist()
     mapping = canonical_mapping(mentions, assignments, canon=entities)
     triples = resolve_and_fold_triples(raw_triples, mapping, provenance_cap=provenance_cap)
-    return KGResult(entities=entities, triples=triples, mentions=mentions, assignments=assignments)
+    return KGResult(
+        entities=entities,
+        triples=triples,
+        mentions=mentions,
+        assignments=assignments,
+        extracted=ext,
+    )
 
 
 def run_pipeline(
