@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from knowledgegraph_spark.operators.textstats import portable_hash64, tokens
+from knowledgegraph_spark.operators.textstats import fast_hash64, portable_hash64, tokens
 
 
 def normalized_text(col: Column) -> Column:
@@ -119,6 +119,7 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 16,
+    hash_fn=portable_hash64,
 ) -> DataFrame:
     """(id, sig: array<bigint>) — MinHash signature over shingle sets.
 
@@ -127,7 +128,7 @@ def minhash_signatures(
     """
     sh = shingles(df, id_col, text_col, n)
     mins = [
-        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
+        F.min(hash_fn(F.col("shingle"), seed=i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("id").agg(*mins)
@@ -141,6 +142,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn=fast_hash64,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH over MinHash signatures.
 
@@ -149,7 +151,7 @@ def minhash_lsh_pairs(
     feed into ngram_jaccard_pairs or a verify UDF for exact similarity.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -172,7 +174,13 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    hash_fn=portable_hash64,
+) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over whitespace tokens.
 
     Explode tokens → per-token portable hash → per-bit vote (+1/-1) via
@@ -183,7 +191,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
         F.col(id_col).alias("id"),
         F.explode(tokens(normalized_text(F.col(text_col)))).alias("tok"),
     )
-    h = portable_hash64(F.col("tok"))
+    h = hash_fn(F.col("tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

@@ -382,6 +382,41 @@ def apply_renames_to_triples(triples: DataFrame, renames: DataFrame) -> DataFram
     )
 
 
+def propagate_permissions(
+    table: DataFrame,
+    page_permissions: DataFrame,
+    key_cols: list[str],
+    sources_col: str = "sources",
+) -> DataFrame:
+    """Document → entity/relation permissions propagation (SURVEY §2.11 O6,
+    vespa_email_pipeline.py:624-666).
+
+    ``page_permissions``: (url, permissions array<string>).  Each output
+    row gains ``permissions`` = distinct union of the permissions of its
+    contributing pages — explode sources, broadcast-join the page table,
+    re-fold.  Rows with no matching page keep an empty array.
+    """
+    exploded = table.select(*key_cols, F.explode_outer(sources_col).alias("__url"))
+    joined = exploded.join(
+        page_permissions.select(
+            F.col("url").alias("__url"), F.col("permissions").alias("__p")
+        ),
+        "__url",
+        "left",
+    )
+    perms = (
+        joined.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.array_distinct(
+                    F.flatten(F.collect_list(F.coalesce(F.col("__p"), F.array())))
+                )
+            ).alias("permissions")
+        )
+    )
+    return table.join(perms, key_cols, "left")
+
+
 def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """Set-oriented upsert of entity nodes by (type, name) with per-field
     merge strategies — the engine-level equivalent of Iceberg

@@ -42,6 +42,7 @@ from knowledgegraph_spark.operators.merge import (
     apply_renames_to_triples,
     canonical_mapping,
     fold_entities,
+    propagate_permissions,
     resolve_and_fold_triples,
     upsert_entities,
     upsert_triples,
@@ -141,6 +142,8 @@ def run_pipeline(
     warehouse: str,
     session_id: str = "session-0",
     provenance_cap: int | None = None,
+    embed: bool = False,
+    page_permissions: DataFrame | None = None,
 ) -> Catalog:
     """Materializing run: stage tables + idempotent commits + ledger.
 
@@ -229,6 +232,36 @@ def run_pipeline(
     else:
         cat.write(entities, "entity_nodes")
         cat.write(triples, "triples")
+
+    if page_permissions is not None:
+        # O6: document -> entity/relation permission propagation
+        ents = propagate_permissions(
+            cat.read("entity_nodes").drop("permissions"),
+            page_permissions, ["type", "name"],
+        )
+        cat.write(ents, "entity_nodes")
+        trs = propagate_permissions(
+            cat.read("triples").drop("permissions"),
+            page_permissions, ["relation_id"],
+        )
+        cat.write(trs, "triples")
+
+    if embed:
+        # deterministic embeddings over text renderings (reference:
+        # ollama_embedder.py:53-101), stored in the materialized tables
+        from knowledgegraph_spark.functions.embedding import embedding
+
+        ents = cat.read("entity_nodes")
+        ents = ents.withColumn(
+            "embedding",
+            embedding(F.concat_ws(" ", "name", "type", F.concat_ws(" ", "aliases"))),
+        )
+        cat.write(ents, "entity_nodes")
+        trs = cat.read("triples")
+        trs = trs.withColumn(
+            "embedding", embedding(F.concat_ws(" ", "subj", "pred", "obj"))
+        )
+        cat.write(trs, "triples")
 
     # Ledger commit LAST: a crash before this line re-processes the pages
     # (idempotent); after it, they are skipped.
