@@ -122,15 +122,42 @@ def connected_components(
     return assignments.union(roots).distinct()
 
 
-def assign_components(nodes: DataFrame, edges: DataFrame, node_col: str = "node") -> DataFrame:
-    """All nodes → component labels; isolated nodes become singletons."""
+def assign_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node",
+    max_component_size: int | None = None,
+) -> DataFrame:
+    """All nodes → component labels; isolated nodes become singletons.
+
+    ``max_component_size``: mega-component guard (SURVEY §7.4.2).  At web
+    scale, an over-broad match key (a very common surface name) can chain
+    millions of distinct entities into one component — an obvious
+    over-merge that also concentrates all downstream fold work on one key.
+    Components larger than the cap are DISSOLVED: their members revert to
+    singletons (conservative no-merge), and the ``mega`` flag marks them
+    for offline review.  None (default) disables.
+    """
     asg = connected_components(edges)
-    return (
+    out = (
         nodes.select(F.col(node_col).alias("node"))
         .distinct()
         .join(asg, "node", "left")
         .select(
             "node",
             F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+    if max_component_size is None:
+        return out.withColumn("mega", F.lit(False))
+    sizes = out.groupBy("component").agg(F.count("*").alias("__sz"))
+    return (
+        out.join(sizes, "component")
+        .select(
+            "node",
+            F.when(F.col("__sz") > max_component_size, F.col("node"))
+            .otherwise(F.col("component"))
+            .alias("component"),
+            (F.col("__sz") > max_component_size).alias("mega"),
         )
     )

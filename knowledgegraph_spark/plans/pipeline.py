@@ -92,6 +92,7 @@ def build_kg(
     existing_entities: DataFrame | None = None,
     persist: bool = True,
     provenance_cap: int | None = None,
+    max_component_size: int | None = None,
 ) -> KGResult:
     """One-shot (or incremental, when ``existing_entities`` given) build.
 
@@ -118,7 +119,7 @@ def build_kg(
         edges = edges.unionByName(dict_match_edges(keys, alias_dict))
 
     nodes = with_node(mentions).select("node")
-    assignments = assign_components(nodes, edges)
+    assignments = assign_components(nodes, edges, max_component_size=max_component_size)
     if persist:
         assignments = assignments.persist()
 
@@ -144,6 +145,7 @@ def run_pipeline(
     provenance_cap: int | None = None,
     embed: bool = False,
     page_permissions: DataFrame | None = None,
+    max_component_size: int | None = None,
 ) -> Catalog:
     """Materializing run: stage tables + idempotent commits + ledger.
 
@@ -187,7 +189,7 @@ def run_pipeline(
         edges = edges.unionByName(dict_match_edges(keys, build_alias_dict(existing)))
 
     nodes = with_node(mentions).select("node")
-    assignments = assign_components(nodes, edges)
+    assignments = assign_components(nodes, edges, max_component_size=max_component_size)
     cat.write(assignments, "stage_assignments")
     assignments = cat.read("stage_assignments")
 
