@@ -393,6 +393,67 @@ def q_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set ops (beyond the reference — SURVEY §2.7): users seen
+    in errors INTERSECT purchases, minus signup-only users, unioned with a
+    constant tag column for determinism."""
+    e = _events(spark, sf_dir)
+    err = e.filter(F.col("event_type") == "error").select("user_id").distinct()
+    pur = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    sig = e.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    both = err.intersect(pur)
+    only_err = err.exceptAll(pur).distinct()
+    return both.withColumn("tag", F.lit("both")).unionByName(
+        only_err.withColumn("tag", F.lit("err_only"))
+    ).unionByName(
+        sig.exceptAll(err).distinct().withColumn("tag", F.lit("sig_not_err"))
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation over (lang, source) with null-marker normalization."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.rollup("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n",
+            "chars",
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week)."""
+    e = _events(spark, sf_dir).withColumn("dow", F.dayofweek("ts"))
+    return (
+        e.cube("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("dow").cast("string"), F.lit("<all>")).alias("dow"),
+            "n",
+        )
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user into per-type columns."""
+    e = _events(spark, sf_dir)
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "error", "signup", "view"])
+        .count()
+    )
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
+        for c in ["click", "purchase", "error", "signup", "view"]
+    ]
+    return out.select(*cols)
+
+
 def q_rule_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: priority rule cascade — lowest-priority matching rule wins."""
     d = _docs(spark, sf_dir)
@@ -449,6 +510,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "daily_counts": q_daily_counts,
         "rule_cascade": q_rule_cascade,
+        "set_ops": q_set_ops,
+        "rollup": q_rollup,
+        "cube": q_cube,
+        "pivot": q_pivot,
     }
 
 
@@ -679,5 +744,35 @@ SELECT doc_id,
        WHEN n_chars > 300 THEN 3
        ELSE NULL END AS rule
 FROM documents
+""",
+        "set_ops": """
+WITH err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error'),
+     pur AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+     sig AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
+SELECT user_id, 'both' AS tag FROM (SELECT user_id FROM err INTERSECT SELECT user_id FROM pur)
+UNION ALL
+SELECT user_id, 'err_only' AS tag FROM (SELECT user_id FROM err EXCEPT SELECT user_id FROM pur)
+UNION ALL
+SELECT user_id, 'sig_not_err' AS tag FROM (SELECT user_id FROM sig EXCEPT SELECT user_id FROM err)
+""",
+        "rollup": """
+SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+       count(*) AS n, sum(n_chars) AS chars
+FROM documents GROUP BY ROLLUP (lang, source)
+""",
+        "cube": """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(dow AS VARCHAR), '<all>') AS dow, count(*) AS n
+FROM (SELECT event_type, dayofweek(ts) + 1 AS dow FROM events)
+GROUP BY CUBE (event_type, dow)
+""",
+        "pivot": """
+SELECT user_id,
+  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+  count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id
 """,
     }
