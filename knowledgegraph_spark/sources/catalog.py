@@ -32,6 +32,12 @@ class Catalog:
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
+        # sweep generations orphaned by a crash mid-write: .tmp-* dirs never
+        # swapped in, .old-* dirs never deleted — both safe to drop (the
+        # live table dir is always complete)
+        for d in os.listdir(warehouse):
+            if ".tmp-" in d or ".old-" in d:
+                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
 
     def path(self, table: str) -> str:
         return os.path.join(self.warehouse, table)
