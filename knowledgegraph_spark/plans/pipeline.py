@@ -168,6 +168,8 @@ def run_pipeline(
         return cat
 
     existing = cat.read("entity_nodes") if cat.exists("entity_nodes") else None
+    if existing is not None and existing.isEmpty():
+        existing = None  # fresh (admin.init-created) table: nothing to link against
 
     # Stage 1+2: text + extraction, materialized once (UDF runs once even
     # though two downstream branches consume it).
