@@ -63,6 +63,60 @@ def one_hop(triples: DataFrame, name: str, limit: int = 20) -> DataFrame:
     return out.unionByName(inc).orderBy("direction", "pred", "neighbor").limit(limit)
 
 
+def two_hop(triples: DataFrame, name: str, limit: int = 100) -> DataFrame:
+    """Two-hop paths from an entity (either direction per hop).
+
+    Undirected expansion as two self-joins over the triple table — the
+    natural extension of the reference's 1-hop CLI.  Returns
+    (mid, pred1, neighbor, pred2) rows, deduplicated, excluding paths
+    returning to the origin.
+    """
+    und = triples.select(
+        F.col("subj").alias("a"), F.col("pred"), F.col("obj").alias("b")
+    ).unionByName(
+        triples.select(
+            F.col("obj").alias("a"), F.col("pred"), F.col("subj").alias("b")
+        )
+    )
+    hop1 = und.filter(F.col("a") == name).select(
+        F.col("pred").alias("pred1"), F.col("b").alias("mid")
+    )
+    hop2 = und.select(
+        F.col("a").alias("mid"), F.col("pred").alias("pred2"), F.col("b").alias("neighbor")
+    )
+    return (
+        hop1.join(hop2, "mid")
+        .filter(F.col("neighbor") != name)
+        .select("mid", "pred1", "pred2", "neighbor")
+        .distinct()
+        .orderBy("mid", "pred1", "pred2", "neighbor")
+        .limit(limit)
+    )
+
+
+def neighborhood_subgraph(triples: DataFrame, name: str) -> DataFrame:
+    """All edges within the 1-hop neighborhood of an entity (induced
+    subgraph export): edges touching the node, plus edges between its
+    neighbors."""
+    nbrs = (
+        triples.filter(F.col("subj") == name).select(F.col("obj").alias("n"))
+        .unionByName(triples.filter(F.col("obj") == name).select(F.col("subj").alias("n")))
+        .distinct()
+        .withColumn("__m", F.lit(True))
+    )
+    t = (
+        triples.join(nbrs.withColumnRenamed("n", "subj"), "subj", "left")
+        .withColumnRenamed("__m", "s_in")
+        .join(nbrs.withColumnRenamed("n", "obj"), "obj", "left")
+        .withColumnRenamed("__m", "o_in")
+    )
+    return t.filter(
+        (F.col("subj") == name)
+        | (F.col("obj") == name)
+        | (F.col("s_in") & F.col("o_in"))
+    ).select(*triples.columns)
+
+
 def stats(entities: DataFrame, triples: DataFrame) -> DataFrame:
     """Entity counts per type (desc) + total relation count appended
     (query_search.py:259-293)."""

@@ -50,7 +50,7 @@ from knowledgegraph_spark.plans.pipeline import build_kg
 from knowledgegraph_spark.operators.extraction import extract_mentions_and_triples
 from knowledgegraph_spark.operators.html_text import with_extracted_text
 cpus = int(sys.argv[1]); path = sys.argv[2]
-spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 4),
+spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 pages = spark.read.parquet(path)
 extract_mentions_and_triples(with_extracted_text(pages.limit(256))).count()  # warm workers

@@ -50,3 +50,26 @@ def test_semantic_search_self_top(kg):
     top = semantic_search(ents, e.name, k=3).collect()
     assert top[0].entity_name == e.name  # exact text → highest cosine
     assert semantic_search(ents, "", k=2).count() == 2  # zero-vector query: no crash
+
+
+def test_two_hop_paths(kg):
+    from knowledgegraph_spark.query import two_hop
+
+    t = kg.triples.first()
+    paths = two_hop(kg.triples, t.subj, limit=200).collect()
+    # every 1-hop neighbor with further edges must appear as a mid
+    assert any(p.mid == t.obj for p in paths) or len(paths) == 0
+    assert all(p.neighbor != t.subj for p in paths)
+
+
+def test_neighborhood_subgraph(kg):
+    from knowledgegraph_spark.query import neighborhood_subgraph, one_hop
+
+    t = kg.triples.first()
+    sub = neighborhood_subgraph(kg.triples, t.subj).collect()
+    # contains every edge incident to the node
+    incident = [r for r in sub if r.subj == t.subj or r.obj == t.subj]
+    assert len(incident) == one_hop(kg.triples, t.subj, limit=10**6).count()
+    # and only edges whose endpoints are in the closed neighborhood
+    nodes = {t.subj} | {r.obj for r in incident} | {r.subj for r in incident}
+    assert all(r.subj in nodes and r.obj in nodes for r in sub)
