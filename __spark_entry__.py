@@ -393,6 +393,34 @@ def q_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's most recent prior
+    (or simultaneous) click — union + carry-forward window plan."""
+    from knowledgegraph_spark.operators.temporal import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, key="user_id", ts="ts", right_cols=["click_id"])
+    return out.select("user_id", "purchase_id", F.col("click_id_asof").alias("prev_click_id"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) with per-session event counts."""
+    from knowledgegraph_spark.operators.temporal import sessionize
+
+    e = _events(spark, sf_dir)
+    s = sessionize(e, key="user_id", ts="ts", gap_minutes=30.0)
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational set ops (beyond the reference — SURVEY §2.7): users seen
     in errors INTERSECT purchases, minus signup-only users, unioned with a
@@ -514,6 +542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "pivot": q_pivot,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
     }
 
 
@@ -774,5 +804,36 @@ SELECT user_id,
   count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
   count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
 FROM events GROUP BY user_id
+""",
+        "asof_join": """
+WITH purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id,
+  (SELECT c.click_id FROM clicks c
+   WHERE c.user_id = p.user_id AND c.ts <= p.ts
+   ORDER BY c.ts DESC LIMIT 1) AS prev_click_id
+FROM purchases p
+""",
+        "sessionize": """
+WITH laged AS (
+  SELECT user_id, ts, value,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk
+  FROM laged
+), sess AS (
+  SELECT user_id, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, session_seq
 """,
     }
