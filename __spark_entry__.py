@@ -197,11 +197,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (no SQL oracle — banded bucketing;
-    verified in tests/test_dedup.py against a pure-Python oracle)."""
-    from knowledgegraph_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash-LSH candidate pairs via banded bucket join.
 
-    return minhash_lsh_pairs(_docs(spark, sf_dir), num_hashes=16, bands=4)
+    Uses the md5-derived portable hash so the DuckDB oracle reproduces the
+    buckets bit-for-bit (the library default is xxhash64 — the scale path)."""
+    from knowledgegraph_spark.operators.dedup import minhash_lsh_pairs
+    from knowledgegraph_spark.operators.textstats import portable_hash64
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=16, bands=4, hash_fn=portable_hash64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -258,31 +263,26 @@ def q_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.crossJoin(F.broadcast(q)).select(
         "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim")
     )
+    # orderBy().limit(k) compiles to TakeOrderedAndProject (k-row heap per
+    # partition, no global sort); the rank window then sees only k rows.
+    top = scored.orderBy(F.desc("sim"), F.col("vec_id")).limit(10)
     w = Window.orderBy(F.desc("sim"), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("rank", "vec_id")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id")
 
 
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 per query for 3 query vectors (vec_id 0,1,2) via window rank."""
-    from knowledgegraph_spark.operators.similarity import cosine
+    """Top-5 per query for 3 query vectors (vec_id 0,1,2) via the library's
+    two-phase window (local per-partition top-k first — scale-safe)."""
+    from knowledgegraph_spark.operators.similarity import topk_cosine_batch
 
     e = _emb(spark, sf_dir).withColumn("v", F.col("embedding").cast("array<double>"))
     qs = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    scored = e.crossJoin(F.broadcast(qs)).select(
-        "query_id", "vec_id", cosine(F.col("v"), F.col("qv")).alias("sim")
+    out = topk_cosine_batch(
+        e.select("vec_id", "v"), qs, k=5, vec_col="v", qvec_col="qv"
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "rank", "vec_id")
-    )
+    return out.select("query_id", "rank", "vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -569,6 +569,41 @@ SELECT doc_id, {concat} AS sig FROM sigs
 """
 
 
+def _lsh_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """Banded MinHash-LSH candidate pairs — DuckDB twin of
+    dedup.minhash_lsh_pairs with hash_fn=portable_hash64."""
+    rows = num_hashes // bands
+    mins = ",\n    ".join(
+        f"min(CAST(('0x' || substr(md5('{i}|' || shingle), 1, 15)) AS BIGINT)) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sigs".format(
+            b=b,
+            bucket=" || ':' || ".join(f"h{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS l
+  FROM documents
+), sh AS (
+  SELECT DISTINCT t.doc_id, array_to_string(t.l[r.i+1:r.i+3], ' ') AS shingle
+  FROM toks t JOIN range(0, 100000) r(i) ON r.i <= len(t.l) - 3
+), sigs AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+), buckets AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 def _simhash_oracle_sql(bits: int = 16) -> str:
     votes = ",\n    ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -662,6 +697,7 @@ SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
 FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.01
 """,
+        "lsh_pairs": _lsh_oracle_sql(16, 4),
         "simhash": _simhash_oracle_sql(16),
         "text_quality": """
 WITH t AS (
@@ -760,7 +796,10 @@ FROM lineitem
 """,
         "stats_by_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "json_props": """
-SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum, count(*) AS n
+SELECT event_type,
+       -- CAST: DuckDB sum(INT) is HUGEINT -> pandas float64; Spark emits BIGINT
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       count(*) AS n
 FROM events GROUP BY event_type
 """,
         "daily_counts": """
@@ -787,7 +826,7 @@ SELECT user_id, 'sig_not_err' AS tag FROM (SELECT user_id FROM sig EXCEPT SELECT
 """,
         "rollup": """
 SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
-       count(*) AS n, sum(n_chars) AS chars
+       count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM documents GROUP BY ROLLUP (lang, source)
 """,
         "cube": """
@@ -828,8 +867,9 @@ WITH laged AS (
   FROM laged
 ), sess AS (
   SELECT user_id, value,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
   FROM marked
 )
 SELECT user_id, session_seq, count(*) AS n_events,

@@ -66,16 +66,33 @@ def topk_cosine_batch(
     qid_col: str = "query_id",
     qvec_col: str = "query_vec",
 ) -> DataFrame:
-    """Top-k per query for a batch of query vectors (broadcast cross join +
-    window rank — TakeOrdered per query key)."""
+    """Top-k per query for a batch of query vectors — two-phase window.
+
+    Phase 1 ranks within (query, input partition): map-side, no shuffle
+    of the scored rows beyond the local top-k.  Phase 2 ranks the
+    surviving ≤ k·n_partitions rows per query.  A single per-query window
+    would funnel EVERY scored row through one task per query — with few
+    queries that is a global sort choke point at scale.  Phase 1 cannot
+    drop a global top-k row (each is within its own partition's top-k),
+    so the result is exact and partitioning-independent.
+    """
     joined = vectors.crossJoin(F.broadcast(queries)).select(
         F.col(qid_col),
         F.col(id_col),
         cosine(F.col(vec_col), F.col(qvec_col)).alias("cosine_sim"),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    local = joined.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(qid_col, "_pid").orderBy(
+        F.desc("cosine_sim"), F.col(id_col)
+    )
+    cand = (
+        local.withColumn("_lr", F.row_number().over(w1))
+        .filter(F.col("_lr") <= k)
+        .drop("_pid", "_lr")
+    )
+    w2 = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "cosine_sim", "rank")
     )

@@ -89,7 +89,8 @@ def main():
             ]
             out = subprocess.run(
                 cmd,
-                capture_output=True, text=True, cwd=REPO, timeout=3600,
+                capture_output=True, text=True, cwd=REPO,
+                timeout=int(os.environ.get("KG_SCALE_TIMEOUT", "3600")),
             )
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
             if not lines:

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import numpy as np
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -31,20 +32,21 @@ def duck():
     return con
 
 
-def _canon(rows, colnames):
+def _canon_pdf(pdf):
+    """Driver-faithful canonicalization: both sides materialized through
+    pandas, columns sorted by name, every value STRINGIFIED (the driver
+    hashes string renderings, so int64 99111 vs HUGEINT->float64 99111.0
+    must be caught here, not papered over by Python's 99111 == 99111.0)."""
+    cols = sorted(pdf.columns)
     out = []
-    for row in rows:
+    for row in pdf[cols].itertuples(index=False, name=None):
         vals = []
-        # sort columns by name, like the driver
-        for _, v in sorted(zip(colnames, row)):
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = round(v, 4)
-            vals.append(v)
+        for v in row:
+            if isinstance(v, (float, np.floating)):
+                v = "nan" if math.isnan(v) else round(float(v), 4)
+            vals.append(str(v))
         out.append(tuple(vals))
-    return sorted(out, key=repr)
+    return sorted(out)
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
@@ -52,25 +54,25 @@ def test_query_vs_oracle(spark, duck, name):
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
     spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
 
     oracles = entry_mod.oracle_sql()
     if name not in oracles:
-        assert len(spark_rows) >= 0  # rows-only check, like the driver
+        assert len(spark_pdf) >= 0  # rows-only check, like the driver
         return
 
     res = duck.execute(oracles[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = res.df()
+    duck_cols = list(duck_pdf.columns)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
     )
-    a = _canon(spark_rows, spark_cols)
-    b = _canon(duck_rows, duck_cols)
+    a = _canon_pdf(spark_pdf)
+    b = _canon_pdf(duck_pdf)
     mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
     assert a == b, f"{name}: first diffs {[(a[i], b[i]) for i in mism]}"
 

@@ -56,6 +56,40 @@ def test_topk_has_no_global_sort(spark):
     assert "Sort [" not in plan  # no full sort stage
 
 
+def test_entry_knn_topk_has_no_global_sort(spark):
+    """The gated entry query (q_knn_topk) must share topk_cosine's shape:
+    TakeOrderedAndProject for the top-k, no full sort of the scored rows.
+    The rank window runs above the 10-row limit, so the only Window input
+    is k rows — never the full scan."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["knn_topk"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_batch_topk_is_two_phase(spark):
+    """topk_cosine_batch must pre-rank per (query, partition) so the final
+    per-query window sees only k·n_partitions rows."""
+    from knowledgegraph_spark.operators.similarity import topk_cosine_batch
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
+    ).repartition(4)
+    qs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "query_id long, query_vec array<double>"
+    )
+    out = topk_cosine_batch(vecs, qs, k=3)
+    plan = _plan(out)
+    assert plan.count("Window") >= 2  # local phase + global phase
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+    rows = out.collect()
+    assert len(rows) == 6
+    # exact: query 0 prefers largest first components, query 1 ties broken by id
+    top_q0 = [r.vec_id for r in rows if r.query_id == 0]
+    assert top_q0 == [19, 18, 17]
+
+
 def test_mega_component_guard(spark):
     from knowledgegraph_spark.operators.components import assign_components
 
