@@ -405,7 +405,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("event_id").alias("click_id")
     )
-    out = asof_join(purchases, clicks, key="user_id", ts="ts", right_cols=["click_id"])
+    out = asof_join(
+        purchases, clicks, key="user_id", ts="ts",
+        right_cols=["click_id"], right_tiebreak="click_id",
+    )
     return out.select("user_id", "purchase_id", F.col("click_id_asof").alias("prev_click_id"))
 
 
@@ -414,7 +417,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledgegraph_spark.operators.temporal import sessionize
 
     e = _events(spark, sf_dir)
-    s = sessionize(e, key="user_id", ts="ts", gap_minutes=30.0)
+    s = sessionize(e, key="user_id", ts="ts", gap_minutes=30.0, tiebreak="event_id")
     return s.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("session_value"),
@@ -853,21 +856,21 @@ WITH purchases AS (
 SELECT p.user_id, p.purchase_id,
   (SELECT c.click_id FROM clicks c
    WHERE c.user_id = p.user_id AND c.ts <= p.ts
-   ORDER BY c.ts DESC LIMIT 1) AS prev_click_id
+   ORDER BY c.ts DESC, c.click_id DESC LIMIT 1) AS prev_click_id
 FROM purchases p
 """,
         "sessionize": """
 WITH laged AS (
-  SELECT user_id, ts, value,
-         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+  SELECT user_id, ts, event_id, value,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
   FROM events
 ), marked AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk
   FROM laged
 ), sess AS (
   SELECT user_id, value,
-         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS session_seq
   FROM marked

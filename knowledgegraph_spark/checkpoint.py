@@ -7,9 +7,9 @@ saved per batch) with two catalog tables:
   * ``checkpoint_ledger`` (written by plans.pipeline.run_pipeline):
     processed urls; resume = left-anti join.
   * ``run_metrics``: per-stage, per-partition row counts + wall clock,
-    collected executor-side via mapPartitions-style instrumentation and
-    committed once per stage — the queryable version of the reference's
-    per-email processing_time_ms log (vespa_email_pipeline.py:166).
+    aggregated JVM-side (groupBy spark_partition_id) and appended once
+    per stage — the queryable version of the reference's per-email
+    processing_time_ms log (vespa_email_pipeline.py:166).
 """
 
 from __future__ import annotations
@@ -32,32 +32,40 @@ METRICS_SCHEMA = T.StructType(
 
 
 def partition_metrics(df: DataFrame, session_id: str, stage: str) -> DataFrame:
-    """Per-partition (rows, wall_ms) for a frame — one extra narrow pass.
+    """Per-partition row counts for a frame — entirely JVM-side.
 
-    Implemented with mapInArrow-free RDD mapPartitions (tiny output, no
-    row-level Python on the data path: only counting within the iterator).
+    ``groupBy(spark_partition_id()).count()`` stays inside whole-stage
+    codegen: no row ever crosses into Python (the previous RDD
+    ``mapPartitionsWithIndex`` version serialized EVERY row into a Python
+    worker just to be counted — a second full pass through Python per
+    stage at 100 TB).  The aggregated result is O(n_partitions) rows; the
+    driver collect is therefore bounded by partition count, not data.
+    ``wall_ms`` is the driver-observed wall of the counting job, stamped
+    on every row of the stage.  Empty partitions produce no group and so
+    no row (they carry no skew signal).
     """
     spark = df.sparkSession
-
-    def count_partition(split_index, it):
-        t0 = time.time()
-        n = 0
-        for _ in it:
-            n += 1
-        yield (session_id, stage, split_index, n, int((time.time() - t0) * 1000))
-
-    rows = df.rdd.mapPartitionsWithIndex(count_partition)
+    t0 = time.time()
+    counts = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows_out"))
+        .collect()
+    )
+    wall = int((time.time() - t0) * 1000)
+    rows = [
+        (session_id, stage, int(c.partition_id), int(c.rows_out), wall)
+        for c in counts
+    ]
     return spark.createDataFrame(rows, METRICS_SCHEMA)
 
 
 def record_metrics(cat, df: DataFrame, session_id: str, stage: str) -> None:
-    """Append a stage's partition metrics to the run_metrics table."""
-    m = partition_metrics(df, session_id, stage)
-    if cat.exists("run_metrics"):
-        merged = cat.read("run_metrics").unionByName(m)
-        cat.write(merged, "run_metrics")
-    else:
-        cat.write(m, "run_metrics")
+    """Append a stage's partition metrics to the run_metrics table.
+
+    Append-only commit — O(delta) per stage, never a rewrite of the
+    whole metrics table.
+    """
+    cat.append(partition_metrics(df, session_id, stage), "run_metrics")
 
 
 def stage_summary(cat) -> DataFrame:

@@ -126,6 +126,7 @@ def node_schema(with_embedding: bool = True) -> T.StructType:
         fields.append(T.StructField(f, T.StringType(), True))
     for f in NODE_ARRAY_FIELDS:
         fields.append(T.StructField(f, T.ArrayType(T.StringType()), True))
+    fields.append(T.StructField("createdAt", T.StringType(), True))
     fields.append(T.StructField("lastUpdated", T.StringType(), True))
     if with_embedding:
         fields.append(T.StructField("embedding", T.ArrayType(T.FloatType()), True))

@@ -270,7 +270,12 @@ def fold_node_rows(df: DataFrame) -> DataFrame:
 
     Used after re-canonicalization renames absorbed entities onto their new
     canonical name: arrays union-distinct, scalars first-by-firstSeen.
+    Columns outside the core set (embedding, permissions, stamps, per-type
+    attributes) are carried — string arrays union-distinct, everything
+    else first-by-firstSeen — never dropped.
     """
+    from pyspark.sql import types as T
+
     order = F.struct(
         F.col("firstSeenTs").alias("ts"),
         F.col("firstSeenUrl").alias("u"),
@@ -300,11 +305,24 @@ def fold_node_rows(df: DataFrame) -> DataFrame:
         F.col("first_seen.u").alias("firstSeenUrl"),
         F.col("first_seen.i").alias("firstSeenOrd"),
     ]
+    core = {
+        "type", "name", "aliases", "emails", "sources", "domain",
+        "firstSeenTs", "firstSeenUrl", "firstSeenOrd", "n_sources",
+    }
     if "n_sources" in df.columns:
         aggs.append(F.max("n_sources").alias("max_n_sources"))
         sel.append(
             F.greatest(F.size("sources"), F.col("max_n_sources")).alias("n_sources")
         )
+    for field in df.schema.fields:
+        c = field.name
+        if c in core:
+            continue
+        if field.dataType == T.ArrayType(T.StringType()):
+            aggs.append(_flat(c))
+        else:
+            aggs.append(_first_by_order(F.col(c), order).alias(c))
+        sel.append(c)
     return df.groupBy("type", "name").agg(*aggs).select(*sel)
 
 
@@ -341,8 +359,14 @@ def apply_renames_to_triples(triples: DataFrame, renames: DataFrame) -> DataFram
     """Rewrite triple endpoints through the rename map and re-group.
 
     Renames can collide previously-distinct triples; payload arrays merge
-    and strength takes the max, then relation_id is recomputed.
+    and strength takes the max, then relation_id is recomputed.  Columns
+    beyond the core set are carried, never dropped: string arrays
+    union-distinct, createdAt min, lastUpdated max, others min
+    (deterministic) — an embedding/permissions column a prior run
+    materialized must survive the rewrite.
     """
+    from pyspark.sql import types as T
+
     rs = renames.select(
         F.col("type").alias("subj_type"),
         F.col("old_name").alias("subj"),
@@ -353,6 +377,9 @@ def apply_renames_to_triples(triples: DataFrame, renames: DataFrame) -> DataFram
         F.col("old_name").alias("obj"),
         F.col("canonical").alias("o_new"),
     )
+    core = {"relation_id", "subj", "subj_type", "pred", "obj", "obj_type",
+            "strength", "descriptions", "sources", "n_sources"}
+    extras = [f for f in triples.schema.fields if f.name not in core]
     t = (
         triples.join(F.broadcast(rs), ["subj_type", "subj"], "left")
         .join(F.broadcast(ro), ["obj_type", "obj"], "left")
@@ -365,9 +392,11 @@ def apply_renames_to_triples(triples: DataFrame, renames: DataFrame) -> DataFram
             "strength",
             "descriptions",
             "sources",
+            *([F.col("n_sources")] if "n_sources" in triples.columns else []),
+            *[F.col(f.name) for f in extras],
         )
     )
-    grouped = t.groupBy("subj", "subj_type", "pred", "obj", "obj_type").agg(
+    aggs = [
         F.max("strength").alias("strength"),
         F.sort_array(F.array_distinct(F.flatten(F.collect_list("descriptions")))).alias(
             "descriptions"
@@ -375,7 +404,23 @@ def apply_renames_to_triples(triples: DataFrame, renames: DataFrame) -> DataFram
         F.sort_array(F.array_distinct(F.flatten(F.collect_list("sources")))).alias(
             "sources"
         ),
-    )
+    ]
+    if "n_sources" in triples.columns:
+        aggs.append(F.max("n_sources").alias("n_sources"))
+    for f in extras:
+        if f.dataType == T.ArrayType(T.StringType()):
+            aggs.append(
+                F.sort_array(
+                    F.array_distinct(
+                        F.flatten(F.collect_list(F.coalesce(F.col(f.name), F.array())))
+                    )
+                ).alias(f.name)
+            )
+        elif f.name == "lastUpdated":
+            aggs.append(F.max(f.name).alias(f.name))
+        else:
+            aggs.append(F.min(f.name).alias(f.name))
+    grouped = t.groupBy("subj", "subj_type", "pred", "obj", "obj_type").agg(*aggs)
     return grouped.withColumn(
         "relation_id",
         F.sha2(F.concat_ws("::", F.col("subj"), F.col("pred"), F.col("obj")), 256),
@@ -417,6 +462,32 @@ def propagate_permissions(
     return table.join(perms, key_cols, "left")
 
 
+def _passthrough_cols(existing: DataFrame, incoming: DataFrame, handled: set[str]):
+    """Shared-but-unconfigured columns must survive an upsert, not vanish.
+
+    A later run with embed=False or page_permissions=None would otherwise
+    destroy the embedding/permissions columns a prior run materialized.
+    Semantics: ``lastUpdated`` replace-always (the stamp of the touching
+    run wins), everything else preserve-existing (coalesce(e, n));
+    one-sided columns are carried verbatim.
+    """
+    cols = []
+    seen = list(dict.fromkeys(existing.columns + incoming.columns))
+    for c in seen:
+        if c in handled:
+            continue
+        if c in existing.columns and c in incoming.columns:
+            if c == "lastUpdated":
+                cols.append(F.coalesce(F.col(f"n.{c}"), F.col(f"e.{c}")).alias(c))
+            else:
+                cols.append(F.coalesce(F.col(f"e.{c}"), F.col(f"n.{c}")).alias(c))
+        elif c in existing.columns:
+            cols.append(F.col(f"e.{c}").alias(c))
+        else:
+            cols.append(F.col(f"n.{c}").alias(c))
+    return cols
+
+
 def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """Set-oriented upsert of entity nodes by (type, name) with per-field
     merge strategies — the engine-level equivalent of Iceberg
@@ -425,22 +496,29 @@ def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
 
     Works on any pair of frames sharing the node-table columns; the
     parquet-backed catalog calls this then rewrites the table atomically.
+    ``createdAt`` preserves the first stamp; ``lastUpdated`` takes the
+    incoming stamp when the row is touched (kuzu_db_handler.py:222,326).
+    Unconfigured shared columns pass through preserve-existing.
     """
     strategies: dict[str, str] = {**NODE_SCALAR_FIELDS}
     for f in NODE_ARRAY_FIELDS:
         strategies[f] = APPEND_UNIQUE
+    strategies["createdAt"] = PRESERVE_EXISTING
+    strategies["lastUpdated"] = REPLACE_ALWAYS
 
     e = existing.alias("e")
     n = incoming.alias("n")
     joined = e.join(n, ["type", "name"], "full_outer")
     cols = [F.col("type"), F.col("name")]
+    handled = {"type", "name"}
     for f, strat in strategies.items():
         if f in existing.columns and f in incoming.columns:
             cols.append(merge_strategy_expr(F.col(f"e.{f}"), F.col(f"n.{f}"), strat).alias(f))
-        elif f in existing.columns:
-            cols.append(F.col(f"e.{f}").alias(f))
-        elif f in incoming.columns:
-            cols.append(F.col(f"n.{f}").alias(f))
+            handled.add(f)
+        elif f in existing.columns or f in incoming.columns:
+            side = "e" if f in existing.columns else "n"
+            cols.append(F.col(f"{side}.{f}").alias(f))
+            handled.add(f)
     # n_sources: exact when provenance is uncapped (size of the merged
     # set); with a cap it is a lower bound (overlap across runs unknown).
     if "n_sources" in existing.columns and "n_sources" in incoming.columns:
@@ -454,6 +532,7 @@ def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
                 F.coalesce(F.col("n.n_sources"), F.lit(0)),
             ).alias("n_sources")
         )
+        handled.add("n_sources")
     # firstSeen provenance: minimum of both sides (struct comparison), so
     # the cross-run ordering key never drifts forward.
     if "firstSeenTs" in existing.columns and "firstSeenTs" in incoming.columns:
@@ -473,12 +552,21 @@ def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
             fs["u"].alias("firstSeenUrl"),
             fs["i"].alias("firstSeenOrd"),
         ]
+        handled |= {"firstSeenTs", "firstSeenUrl", "firstSeenOrd"}
+    cols += _passthrough_cols(existing, incoming, handled)
     return joined.select(*cols)
 
 
 def upsert_triples(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     """Upsert triples by relation_id: arrays append-unique, strength max,
-    scalars preserve (schema.yaml:141-155 semantics)."""
+    scalars preserve (schema.yaml:141-155 semantics).
+
+    String-array columns present on both sides (relationTags, permissions)
+    merge append-unique; other shared columns pass through
+    preserve-existing (lastUpdated replace-always), and one-sided columns
+    are carried verbatim — a run that skips embeddings or permissions
+    must not destroy what a prior run materialized.
+    """
     e = existing.alias("e")
     n = incoming.alias("n")
     joined = e.join(n, ["relation_id"], "full_outer")
@@ -486,7 +574,7 @@ def upsert_triples(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     def arr(f):
         return merge_strategy_expr(F.col(f"e.{f}"), F.col(f"n.{f}"), APPEND_UNIQUE).alias(f)
 
-    return joined.select(
+    cols = [
         F.col("relation_id"),
         F.coalesce(F.col("e.subj"), F.col("n.subj")).alias("subj"),
         F.coalesce(F.col("e.subj_type"), F.col("n.subj_type")).alias("subj_type"),
@@ -496,4 +584,22 @@ def upsert_triples(existing: DataFrame, incoming: DataFrame) -> DataFrame:
         F.greatest(F.col("e.strength"), F.col("n.strength")).alias("strength"),
         arr("descriptions"),
         arr("sources"),
-    )
+    ]
+    handled = {
+        "relation_id", "subj", "subj_type", "pred", "obj", "obj_type",
+        "strength", "descriptions", "sources",
+    }
+    for c in ("relationTags", "permissions"):
+        if c in existing.columns and c in incoming.columns:
+            cols.append(arr(c))
+            handled.add(c)
+    if "n_sources" in existing.columns and "n_sources" in incoming.columns:
+        cols.append(
+            F.greatest(
+                F.coalesce(F.col("e.n_sources"), F.lit(0)),
+                F.coalesce(F.col("n.n_sources"), F.lit(0)),
+            ).alias("n_sources")
+        )
+        handled.add("n_sources")
+    cols += _passthrough_cols(existing, incoming, handled)
+    return joined.select(*cols)

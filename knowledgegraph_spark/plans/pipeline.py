@@ -210,6 +210,13 @@ def run_pipeline(
     triples = cat.read("stage_triples")
     entities = entities_f.drop("component")
 
+    # createdAt/lastUpdated stamps (kuzu_db_handler.py:222,326,420,562):
+    # upsert semantics keep the existing createdAt and take the incoming
+    # lastUpdated, so untouched rows keep their original stamps.
+    now = F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    entities = entities.withColumn("createdAt", now).withColumn("lastUpdated", now)
+    triples = triples.withColumn("createdAt", now).withColumn("lastUpdated", now)
+
     if existing is not None and cat.exists("entity_nodes"):
         # Re-canonicalization: new evidence can merge entities that earlier
         # runs created separately.  Detect components holding >1 existing
@@ -231,8 +238,14 @@ def run_pipeline(
 
         renamed_nodes = apply_renames_to_nodes(cat.read("entity_nodes"), renames)
         cat.write(upsert_entities(renamed_nodes, entities), "entity_nodes")
-        rewritten = apply_renames_to_triples(cat.read("triples"), renames)
-        cat.write(upsert_triples(rewritten, triples), "triples")
+        if cat.exists("triples"):
+            # guard: a kill between the first-run entity write and triple
+            # write leaves entity_nodes without triples — resume must not
+            # crash on the missing table
+            rewritten = apply_renames_to_triples(cat.read("triples"), renames)
+            cat.write(upsert_triples(rewritten, triples), "triples")
+        else:
+            cat.write(triples, "triples")
     else:
         cat.write(entities, "entity_nodes")
         cat.write(triples, "triples")

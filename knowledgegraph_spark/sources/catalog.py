@@ -32,12 +32,22 @@ class Catalog:
         self.spark = spark
         self.warehouse = warehouse
         os.makedirs(warehouse, exist_ok=True)
-        # sweep generations orphaned by a crash mid-write: .tmp-* dirs never
-        # swapped in, .old-* dirs never deleted — both safe to drop (the
-        # live table dir is always complete)
-        for d in os.listdir(warehouse):
-            if ".tmp-" in d or ".old-" in d:
-                shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
+        # Sweep generations orphaned by a crash mid-write.  .tmp-* dirs were
+        # never swapped in — always safe to drop.  A .old-* dir is the
+        # PREVIOUS generation: normally the live dir exists and the .old is
+        # garbage, but a crash in write()'s swap window (after final→old,
+        # before tmp→final) leaves the .old as the ONLY copy of the table —
+        # restore it instead of deleting it.
+        for d in sorted(os.listdir(warehouse)):
+            p = os.path.join(warehouse, d)
+            if ".tmp-" in d:
+                shutil.rmtree(p, ignore_errors=True)
+            elif ".old-" in d:
+                live = os.path.join(warehouse, d.split(".old-")[0])
+                if os.path.isdir(live):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.rename(p, live)
 
     def path(self, table: str) -> str:
         return os.path.join(self.warehouse, table)
@@ -74,6 +84,15 @@ class Catalog:
         os.rename(tmp, final)
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
+
+    def append(self, df: DataFrame, table: str) -> None:
+        """Append-only commit for log-style tables (metrics, ledgers).
+
+        O(delta) — new parquet files land next to the existing ones; no
+        read-modify-rewrite of the table.  Readers ignore `_`-prefixed
+        committer temp dirs, so a crashed append leaves no torn reads.
+        """
+        df.write.mode("append").parquet(self.path(table))
 
     def upsert(self, incoming: DataFrame, table: str, merge_fn) -> None:
         """merge_fn(existing_df, incoming_df) -> merged_df; swap atomically.

@@ -74,6 +74,56 @@ def test_run_twice_equals_run_once(spark, pages_df, tmp_path):
     assert e1 == e2
 
 
+def test_stamps_populated_and_created_at_stable(spark, pages_df, tmp_path):
+    """createdAt/lastUpdated are written on every upsert; a second run
+    keeps the original createdAt (preserve-existing)."""
+    wh = str(tmp_path / "wh")
+    cat = run_pipeline(spark, pages_df, wh, session_id="s1")
+    rows1 = {(r.type, r.name): r.createdAt for r in cat.read("entity_nodes").collect()}
+    assert rows1 and all(v is not None for v in rows1.values())
+    t1 = cat.read("triples").limit(1).collect()[0]
+    assert t1.createdAt is not None and t1.lastUpdated is not None
+
+    cat2 = run_pipeline(spark, pages_df, wh, session_id="s2")  # no-op resume
+    rows2 = {(r.type, r.name): r.createdAt for r in cat2.read("entity_nodes").collect()}
+    assert rows1 == rows2
+
+
+def test_later_run_preserves_embeddings_and_permissions(spark, tmp_path):
+    """A run with embed=False / page_permissions=None must not destroy the
+    embedding/permissions columns a prior run materialized."""
+    import pyspark.sql.functions as F
+
+    c = generate_corpus(60, seed=13)
+    pages = spark.createDataFrame([Row(**p) for p in c["pages"]], schema=PAGES_SCHEMA)
+    half1 = pages.filter("warc_ts < timestamp'2024-01-01 01:15:00'")
+    perms = half1.select("url", F.array(F.lit("grp:alpha")).alias("permissions"))
+
+    wh = str(tmp_path / "wh")
+    cat = run_pipeline(
+        spark, half1, wh, session_id="a", embed=True, page_permissions=perms
+    )
+    e1 = cat.read("entity_nodes")
+    with_emb = {
+        (r.type, r.name) for r in e1.filter("embedding is not null").collect()
+    }
+    assert with_emb
+
+    cat2 = run_pipeline(spark, pages, wh, session_id="b")  # plain run
+    e2 = cat2.read("entity_nodes")
+    assert "embedding" in e2.columns and "permissions" in e2.columns
+    kept = {
+        (r.type, r.name) for r in e2.filter("embedding is not null").collect()
+    }
+    # every run-1 embedded entity still carries its embedding (renamed
+    # entities keep theirs through fold_node_rows; names can change, so
+    # require no loss in count and full overlap for surviving names)
+    surviving = {k for k in with_emb if k in {(r.type, r.name) for r in e2.collect()}}
+    assert surviving <= kept
+    t2 = cat2.read("triples")
+    assert "permissions" in t2.columns
+
+
 def test_incremental_equals_oneshot(spark, tmp_path):
     """Kill/resume equivalence: half the pages, then the rest, ≡ one shot.
 
