@@ -111,6 +111,120 @@ def q_kg_extract_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("name", "type").agg(F.count("*").alias("n_mentions"))
 
 
+def _alpha_toks(text_col):
+    """Alphabetic tokens (len >= 2) — surface forms valid under the
+    extraction grammar even for noisy token streams."""
+    return F.filter(
+        F.split(F.lower(text_col), r"\s+"),
+        lambda t: t.rlike("^[a-z]{2,}$"),
+    )
+
+
+def _attr_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-bearing synthetic sentences: a Person title line (PRESERVE
+    fold) and an Issue status line (IF-BETTER fold) per document."""
+    d = _docs(spark, sf_dir)
+    toks = _alpha_toks(F.col("text"))
+    status = F.element_at(
+        F.array(F.lit("Open"), F.lit("Blocked"), F.lit("Resolved"), F.lit("Triaged")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat(
+            F.lit("Synthetic notes\n\n"),
+            F.initcap(toks[0]), F.lit(" "), F.initcap(toks[1]),
+            F.lit(' holds the title "'),
+            F.initcap(toks[2]), F.lit(" "), F.initcap(toks[3]),
+            F.lit('".\nIssue KG-'), F.col("doc_id") % 50,
+            F.lit(" has status "), status, F.lit("."),
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    ).filter(F.size(toks) >= 4)
+
+
+def q_kg_entity_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: per-type attribute extraction + strategy folds (real Arrow UDF):
+    Person.title folds PRESERVE (first by arrival order), Issue.status
+    folds IF-BETTER (max by (length, value))."""
+    from knowledgegraph_spark.operators.extraction import (
+        extract_mentions_and_triples,
+        mentions_of,
+    )
+    from knowledgegraph_spark.operators.merge import if_better_agg
+
+    m = mentions_of(extract_mentions_and_triples(_attr_pages(spark, sf_dir)))
+    persons = (
+        m.filter(F.col("type") == "Person")
+        .groupBy("name")
+        .agg(F.min_by("title", "warc_ts").alias("title"))
+        .select(
+            "name", F.lit("Person").alias("type"), "title",
+            F.lit(None).cast("string").alias("status"),
+        )
+    )
+    issues = (
+        m.filter(F.col("type") == "Issue")
+        .groupBy("name")
+        .agg(if_better_agg(F.col("status")).alias("status"))
+        .select(
+            "name", F.lit("Issue").alias("type"),
+            F.lit(None).cast("string").alias("title"), "status",
+        )
+    )
+    return persons.unionByName(issues)
+
+
+def _tag_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two works-at variants per document (plain + role-bearing) so the
+    same relation folds both pattern tags into relationTags."""
+    d = _docs(spark, sf_dir)
+    toks = _alpha_toks(F.col("text"))
+    base = F.concat(
+        F.initcap(toks[0]), F.lit(" "), F.initcap(toks[1]),
+        F.lit(" works at "), F.initcap(toks[2]), F.lit(" Corp"),
+    )
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.when(
+            F.size(toks) >= 4,
+            F.concat(
+                F.lit("Synthetic notes\n\n"), base, F.lit(".\n"),
+                base, F.lit(" as a "), F.initcap(toks[3]), F.lit("."),
+            ),
+        ).otherwise(
+            F.concat(F.lit("Synthetic notes\n\n"), base, F.lit("."))
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+    ).filter(F.size(toks) >= 3)
+
+
+def q_kg_relation_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: relationTags fold — per-pattern provenance tags merged
+    append-unique per relation (real Arrow UDF end to end)."""
+    from knowledgegraph_spark.operators.extraction import (
+        extract_mentions_and_triples,
+        triples_of,
+    )
+
+    t = triples_of(extract_mentions_and_triples(_tag_pages(spark, sf_dir)))
+    return (
+        t.groupBy(
+            F.col("subj_name").alias("subj"), F.col("pred"),
+            F.col("obj_name").alias("obj"),
+        )
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("relation_tag"))).alias(
+                "relation_tags"
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Term co-occurrence graph (generic-text KG) — S5/S6 + A4 analogue
 # ---------------------------------------------------------------------------
@@ -343,16 +457,21 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_merge_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: merge strategies as row expressions (preserve / if-better)."""
+    """A5: merge strategies as row expressions (preserve / if-better),
+    via the library's merge_strategy_expr (if-better = max by
+    (length, value) — the order-free semilattice refinement)."""
+    from knowledgegraph_spark.config import PRESERVE_EXISTING, REPLACE_IF_BETTER
+    from knowledgegraph_spark.operators.merge import merge_strategy_expr
+
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     return p.select(
         "p_partkey",
-        F.coalesce(F.nullif(F.col("p_brand"), F.lit("")), F.col("p_name")).alias(
-            "preserved"
-        ),
-        F.when(
-            F.length("p_name") > F.length("p_type"), F.col("p_name")
-        ).otherwise(F.col("p_type")).alias("better"),
+        merge_strategy_expr(
+            F.nullif(F.col("p_brand"), F.lit("")), F.col("p_name"), PRESERVE_EXISTING
+        ).alias("preserved"),
+        merge_strategy_expr(
+            F.col("p_type"), F.col("p_name"), REPLACE_IF_BETTER
+        ).alias("better"),
     )
 
 
@@ -516,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_extract_triples": q_kg_extract_triples,
         "kg_extract_mentions": q_kg_extract_mentions,
+        "kg_entity_attrs": q_kg_entity_attrs,
+        "kg_relation_tags": q_kg_relation_tags,
         "term_graph": q_term_graph,
         "term_nodes": q_term_nodes,
         "one_hop": q_one_hop,
@@ -653,6 +774,50 @@ SELECT name, type, count(*) AS n_mentions FROM (
   SELECT org AS name, 'Organization' AS type FROM sents
 ) GROUP BY name, type
 """,
+        "kg_entity_attrs": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     t -> regexp_matches(t, '^[a-z]{2,}$')) AS l
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         upper(l[1][1]) || l[1][2:] || ' ' || upper(l[2][1]) || l[2][2:] AS person,
+         upper(l[3][1]) || l[3][2:] || ' ' || upper(l[4][1]) || l[4][2:] AS title,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'Open' WHEN 1 THEN 'Blocked'
+              WHEN 2 THEN 'Resolved' ELSE 'Triaged' END AS status,
+         'Issue KG-' || (doc_id % 50) AS issue
+  FROM toks WHERE len(l) >= 4
+)
+SELECT person AS name, 'Person' AS type,
+       arg_min(title, doc_id) AS title, CAST(NULL AS VARCHAR) AS status
+FROM base GROUP BY person
+UNION ALL
+SELECT issue AS name, 'Issue' AS type, CAST(NULL AS VARCHAR) AS title,
+       arg_max(status, printf('%02d|%s', length(status), status)) AS status
+FROM base GROUP BY issue
+""",
+        "kg_relation_tags": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '\\s+', ' ', 'g'), ' '),
+                     t -> regexp_matches(t, '^[a-z]{2,}$')) AS l
+  FROM documents
+), tagged AS (
+  SELECT upper(l[1][1]) || l[1][2:] || ' ' || upper(l[2][1]) || l[2][2:] AS subj,
+         upper(l[3][1]) || l[3][2:] || ' Corp' AS obj,
+         'works_at' AS tag
+  FROM toks WHERE len(l) >= 3
+  UNION ALL
+  SELECT upper(l[1][1]) || l[1][2:] || ' ' || upper(l[2][1]) || l[2][2:],
+         upper(l[3][1]) || l[3][2:] || ' Corp',
+         'works_at:role'
+  FROM toks WHERE len(l) >= 4
+)
+SELECT subj, 'WORKS_AT' AS pred, obj,
+       array_to_string(list_sort(list_distinct(list(tag))), ',') AS relation_tags
+FROM tagged GROUP BY subj, obj
+""",
         "term_graph": bigrams
         + "SELECT subj, 'CO_OCCURS' AS pred, obj, count(*) AS weight, count(DISTINCT doc) AS n_docs FROM bg GROUP BY subj, obj",
         "term_nodes": """
@@ -789,7 +954,8 @@ SELECT user_id, event_id, event_type FROM (
         "merge_exprs": """
 SELECT p_partkey,
   coalesce(nullif(p_brand, ''), p_name) AS preserved,
-  CASE WHEN length(p_name) > length(p_type) THEN p_name ELSE p_type END AS better
+  CASE WHEN (length(p_name), p_name) > (length(p_type), p_type)
+       THEN p_name ELSE p_type END AS better
 FROM part
 """,
         "sha_ids": """

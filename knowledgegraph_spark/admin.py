@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 from knowledgegraph_spark.config import node_schema, triple_schema
 from knowledgegraph_spark.sources.catalog import Catalog
 
-CORE_TABLES = ("entity_nodes", "triples", "checkpoint_ledger", "run_metrics")
+CORE_TABLES = (
+    "entity_nodes", "triples", "checkpoint_ledger", "run_metrics", "failed_pages"
+)
 
 
 def init(cat: Catalog) -> None:
@@ -55,6 +57,21 @@ def backup(cat: Catalog, dest: str) -> str:
         if cat.exists(t):
             shutil.copytree(cat.path(t), os.path.join(dest, t), dirs_exist_ok=True)
     return dest
+
+
+def reset_failed(cat: Catalog) -> int:
+    """Retry-reset for quarantined pages (vespa_email_pipeline.py:159-187):
+    drop their 'failed' ledger rows and the failed_pages table, so the next
+    run re-processes them.  Returns the number of pages reset."""
+    n = 0
+    if cat.exists("checkpoint_ledger"):
+        led = cat.read("checkpoint_ledger")
+        failed = led.filter(F.col("status") == "failed")
+        n = failed.count()
+        if n:
+            cat.write(led.filter(F.col("status") != "failed"), "checkpoint_ledger")
+    cat.drop("failed_pages")
+    return n
 
 
 def clean(cat: Catalog, include_stages: bool = True) -> None:

@@ -95,6 +95,35 @@ EVENT_NAMES = [
     "Design Jam", "Release Readiness",
 ]
 ISSUE_KEYS = ["KG", "DF", "OPS", "SRCH", "PAY"]
+ROLES = [
+    "Senior Engineer", "Staff Engineer", "Data Scientist",
+    "Product Manager", "Site Reliability Engineer", "Engineering Director",
+]
+TITLES = [
+    "Principal Engineer", "Head of Platform", "Tech Lead",
+    "Distinguished Engineer", "VP of Data",
+]
+CITIES = ["Berlin", "Lisbon", "Oslo", "Madrid", "Toronto", "Osaka", "Denver", "Zurich"]
+ISSUE_STATUSES = ["Open", "Triaged", "Blocked", "Resolved", "Closed"]
+PR_LABELS = ["bugfix", "performance", "refactor", "security", "docs", "ci"]
+
+# relationTag per fact kind — lockstep with the extractor's pattern tags
+# (operators/extraction.py _pattern_table)
+FACT_TAG = {
+    "WORKS_AT": "works_at",
+    "WORKS_AT_ROLE": "works_at:role",
+    "WORKS_ON": "works_on",
+    "MEMBER_OF": "member_of",
+    "MANAGES": "manages",
+    "AUTHORED": "authored",
+    "REVIEWED": "reviewed",
+    "BELONGS_TO_PR": "belongs_to:repo",
+    "ASSIGNED_TO": "assigned_to",
+    "MERGES": "merges",
+    "CREATED": "created:repo",
+    "CREATED_EVENT": "created:event",
+    "BELONGS_TO_TOPIC": "belongs_to:topic",
+}
 
 NOISE_SENTENCES = [
     "The weather that week was unremarkable and mild.",
@@ -244,12 +273,25 @@ def _mk_fact(rng: random.Random, w: World, head_org: Org, head_frac: float):
             "WORKS_ON", "MEMBER_OF", "MANAGES", "AUTHORED", "REVIEWED",
             "BELONGS_TO_PR", "ASSIGNED_TO", "MERGES", "CREATED",
             "CREATED_EVENT", "BELONGS_TO_TOPIC",
+            # attribute-bearing facts (entity_config.yaml field specs)
+            "WORKS_AT_ROLE", "TITLE", "BASED_IN", "ISSUE_STATUS", "PR_LABELS",
         ]
     )
     p = rng.choice(w.people)
     if kind == "WORKS_AT":
         org = head_org if rng.random() < head_frac else rng.choice(w.orgs)
         return ("WORKS_AT", p, org)
+    if kind == "WORKS_AT_ROLE":
+        org = head_org if rng.random() < head_frac else rng.choice(w.orgs)
+        return ("WORKS_AT_ROLE", p, org, rng.choice(ROLES))
+    if kind == "TITLE":
+        return ("TITLE", p, rng.choice(TITLES))
+    if kind == "BASED_IN":
+        return ("BASED_IN", p, rng.choice(CITIES))
+    if kind == "ISSUE_STATUS":
+        return ("ISSUE_STATUS", rng.choice(w.issues), rng.choice(ISSUE_STATUSES))
+    if kind == "PR_LABELS":
+        return ("PR_LABELS", rng.choice(w.prs), tuple(rng.sample(PR_LABELS, 2)))
     if kind == "WORKS_ON":
         return ("WORKS_ON", p, rng.choice(w.projects))
     if kind == "MEMBER_OF":
@@ -313,6 +355,33 @@ def _render_fact(rng: random.Random, fact) -> tuple[str, list[dict], list[dict]]
         os_, om = _o(fact[2])
         sent = f"{ps} works at {os_}."
         _t(pm["name"], "Person", "WORKS_AT", om["name"], "Organization")
+    elif kind == "WORKS_AT_ROLE":
+        ps, pm = _p(fact[1])
+        os_, om = _o(fact[2])
+        role = fact[3]
+        pm["role"] = role
+        pm["worksAt"] = om["name"]
+        sent = f"{ps} works at {os_} as a {role}."
+        _t(pm["name"], "Person", "WORKS_AT", om["name"], "Organization")
+    elif kind == "TITLE":
+        ps, pm = _p(fact[1])
+        pm["title"] = fact[2]
+        sent = f'{ps} holds the title "{fact[2]}".'
+    elif kind == "BASED_IN":
+        ps, pm = _p(fact[1])
+        pm["location"] = fact[2]
+        sent = f"{ps} is based in {fact[2]}."
+    elif kind == "ISSUE_STATUS":
+        issue = f"Issue {fact[1]}"
+        im = _simple(issue, "Issue")
+        im["status"] = fact[2]
+        sent = f"{issue} has status {fact[2]}."
+    elif kind == "PR_LABELS":
+        pr = f"Pull Request #{fact[1]}"
+        prm = _simple(pr, "CodeChangeRequest")
+        l1, l2 = fact[2]
+        prm["labels"] = [l1, l2]
+        sent = f'{pr} is labeled "{l1}" and "{l2}".'
     elif kind == "WORKS_ON":
         ps, pm = _p(fact[1])
         proj = fact[2]
@@ -388,6 +457,9 @@ def _render_fact(rng: random.Random, fact) -> tuple[str, list[dict], list[dict]]
     for t in triples:
         t["strength"] = STRENGTH_BY_PRED.get(t["p"], DEFAULT_STRENGTH)
         t["description"] = sent
+        t["tag"] = FACT_TAG[kind]
+    for m in mentions:
+        m["description"] = sent
     return sent, mentions, triples
 
 
@@ -654,15 +726,18 @@ def oracle_triples(corpus) -> list[dict]:
         g = grouped.setdefault(
             k,
             {"subj": s, "pred": t["p"], "obj": o, "strength": 0.0,
-             "descriptions": set(), "sources": set()},
+             "descriptions": set(), "sources": set(), "relationTags": set()},
         )
         g["strength"] = max(g["strength"], t["strength"])
         g["descriptions"].add(t["description"])
         g["sources"].add(t["url"])
+        if t.get("tag"):
+            g["relationTags"].add(t["tag"])
     out = []
     for g in grouped.values():
         g["descriptions"] = sorted(g["descriptions"])
         g["sources"] = sorted(g["sources"])
+        g["relationTags"] = sorted(g["relationTags"])
         g["relation_id"] = hashlib.sha256(
             f"{g['subj']}::{g['pred']}::{g['obj']}".encode()
         ).hexdigest()
@@ -671,7 +746,9 @@ def oracle_triples(corpus) -> list[dict]:
 
 
 def oracle_entities(corpus) -> list[dict]:
-    """Folded golden entity nodes (name, type, aliases, emails, domain, sources)."""
+    """Folded golden entity nodes: identity fields plus per-type attributes
+    (role/location/labels append-unique, worksAt/title preserve-first,
+    status if-better = max by (length, value), rawDescriptions set)."""
     canon = oracle_canonicalize(corpus["mentions"])
     folded: dict[tuple, dict] = {}
     ordered = sorted(corpus["mentions"], key=lambda m: (m["ts"], m["url"], m["ord"]))
@@ -681,7 +758,10 @@ def oracle_entities(corpus) -> list[dict]:
         e = folded.setdefault(
             k,
             {"name": cname, "type": m["type"], "aliases": set(),
-             "emails": set(), "domain": None, "sources": set()},
+             "emails": set(), "domain": None, "sources": set(),
+             "role": set(), "location": set(), "labels": set(),
+             "worksAt": None, "title": None, "status": None,
+             "rawDescriptions": set()},
         )
         if m["name"] != cname:
             e["aliases"].add(m["name"])
@@ -690,10 +770,30 @@ def oracle_entities(corpus) -> list[dict]:
         if m.get("domain") and e["domain"] is None:
             e["domain"] = m["domain"]
         e["sources"].add(m["url"])
+        if m.get("role"):
+            e["role"].add(m["role"])
+        if m.get("location"):
+            e["location"].add(m["location"])
+        if m.get("labels"):
+            e["labels"].update(m["labels"])
+        if m.get("worksAt") and e["worksAt"] is None:
+            e["worksAt"] = m["worksAt"]
+        if m.get("title") and e["title"] is None:
+            e["title"] = m["title"]
+        if m.get("status"):
+            s = m["status"]
+            if e["status"] is None or (len(s), s) > (len(e["status"]), e["status"]):
+                e["status"] = s
+        if m.get("description"):
+            e["rawDescriptions"].add(m["description"])
     out = []
     for e in folded.values():
         e["aliases"] = sorted(e["aliases"])
         e["emails"] = sorted(e["emails"])
         e["sources"] = sorted(e["sources"])
+        e["role"] = sorted(e["role"])
+        e["location"] = sorted(e["location"])
+        e["labels"] = sorted(e["labels"])
+        e["rawDescriptions"] = sorted(e["rawDescriptions"])
         out.append(e)
     return out

@@ -55,9 +55,9 @@ _ORG_PARSE = re.compile(
 # Handlers receive the match and return lists of dicts.
 
 
-def _person(m_str: str) -> dict:
+def _person(m_str: str, **attrs) -> dict:
     pm = _PERSON_PARSE.match(m_str)
-    return {"name": pm.group(1), "type": "Person", "email": pm.group(2)}
+    return {"name": pm.group(1), "type": "Person", "email": pm.group(2), **attrs}
 
 
 def _org(m_str: str) -> dict:
@@ -65,14 +65,45 @@ def _org(m_str: str) -> dict:
     return {"name": om.group(1), "type": "Organization", "domain": om.group(2)}
 
 
-def _simple(name: str, typ: str) -> dict:
-    return {"name": name, "type": typ, "email": None, "domain": None}
+def _simple(name: str, typ: str, **attrs) -> dict:
+    return {"name": name, "type": typ, "email": None, "domain": None, **attrs}
 
 
 def _pattern_table():
+    """(regex, handler, relation_tag) rows.
+
+    ``relation_tag`` is the per-pattern provenance tag folded into the
+    edge's ``relationTags`` array (reference merges relationTag STRING[]
+    per relation, systematic_merge_provider.py:1010-1087, schema.yaml:152).
+    Attribute-bearing patterns populate the per-type attribute fields the
+    reference's entity-record parse extracts (entity_extractor.py:181-236,
+    field specs entity_config.yaml:18-491): role, worksAt, title, status,
+    location, labels.
+    """
     def works_at(m):
         p, o = _person(m.group(1)), _org(m.group(2))
         return [p, o], [(p, "WORKS_AT", o)]
+
+    def works_at_role(m):
+        o = _org(m.group(2))
+        p = _person(m.group(1), role=m.group(3), worksAt=_ORG_PARSE.match(m.group(2)).group(1))
+        return [p, o], [(p, "WORKS_AT", o)]
+
+    def holds_title(m):
+        p = _person(m.group(1), title=m.group(2))
+        return [p], []
+
+    def based_in(m):
+        p = _person(m.group(1), location=m.group(2))
+        return [p], []
+
+    def issue_status(m):
+        s = _simple(m.group(1), "Issue", status=m.group(2))
+        return [s], []
+
+    def pr_labels(m):
+        s = _simple(m.group(1), "CodeChangeRequest", labels=[m.group(2), m.group(3)])
+        return [s], []
 
     def works_on(m):
         p, o = _person(m.group(1)), _simple(m.group(2), "Project")
@@ -120,22 +151,39 @@ def _pattern_table():
         s, o = _simple(m.group(1), "Issue"), _simple(m.group(2), "Topic")
         return [s, o], [(s, "BELONGS_TO", o)]
 
+    _ROLE = r"[A-Z][a-z]+(?: [A-Z][a-z]+)*"
     return [
-        (re.compile(rf"^({_P}) works at ({_ORG})\.$"), works_at),
-        (re.compile(rf"^({_P}) works on Project ([A-Z][a-z]+)\.$"), works_on),
-        (re.compile(rf"^({_P}) is a member of the ([A-Z][a-z]+) team\.$"), member_of),
-        (re.compile(rf"^({_P}) manages the ([A-Z][a-z]+) team\.$"), manages),
-        (re.compile(rf"^({_P}) authored ({_PR})\.$"), authored),
-        (re.compile(rf"^({_P}) reviewed ({_PR})\.$"), reviewed),
-        (re.compile(rf"^({_PR}) belongs to ({_REPO})\.$"), pr_belongs),
-        (re.compile(rf"^({_ISSUE}) is assigned to ({_P})\.$"), assigned),
+        # attribute-bearing works-at first: the plain works-at regex would
+        # otherwise swallow the " as a ..." suffix into the org name
+        (
+            re.compile(rf"^({_P}) works at ({_ORG}) as a ({_ROLE})\.$"),
+            works_at_role,
+            "works_at:role",
+        ),
+        (re.compile(rf"^({_P}) works at ({_ORG})\.$"), works_at, "works_at"),
+        (re.compile(rf"^({_P}) works on Project ([A-Z][a-z]+)\.$"), works_on, "works_on"),
+        (re.compile(rf"^({_P}) is a member of the ([A-Z][a-z]+) team\.$"), member_of, "member_of"),
+        (re.compile(rf"^({_P}) manages the ([A-Z][a-z]+) team\.$"), manages, "manages"),
+        (re.compile(rf"^({_P}) authored ({_PR})\.$"), authored, "authored"),
+        (re.compile(rf"^({_P}) reviewed ({_PR})\.$"), reviewed, "reviewed"),
+        (re.compile(rf"^({_PR}) belongs to ({_REPO})\.$"), pr_belongs, "belongs_to:repo"),
+        (re.compile(rf"^({_ISSUE}) is assigned to ({_P})\.$"), assigned, "assigned_to"),
         (
             re.compile(rf"^({_PR}) merges branch ({_BRANCH}) into branch ({_BRANCH})\.$"),
             merges,
+            "merges",
         ),
-        (re.compile(rf"^({_P}) created the repository ({_REPO})\.$"), created_repo),
-        (re.compile(rf'^({_P}) created the "([^"]+)" event\.$'), created_event),
-        (re.compile(rf'^({_ISSUE}) belongs to the topic "([^"]+)"\.$'), issue_topic),
+        (re.compile(rf"^({_P}) created the repository ({_REPO})\.$"), created_repo, "created:repo"),
+        (re.compile(rf'^({_P}) created the "([^"]+)" event\.$'), created_event, "created:event"),
+        (re.compile(rf'^({_ISSUE}) belongs to the topic "([^"]+)"\.$'), issue_topic, "belongs_to:topic"),
+        (re.compile(rf'^({_P}) holds the title "([^"]+)"\.$'), holds_title, None),
+        (re.compile(rf"^({_P}) is based in ([A-Z][a-z]+)\.$"), based_in, None),
+        (re.compile(rf"^({_ISSUE}) has status ([A-Z][a-z]+)\.$"), issue_status, None),
+        (
+            re.compile(rf'^({_PR}) is labeled "([a-z-]+)" and "([a-z-]+)"\.$'),
+            pr_labels,
+            None,
+        ),
     ]
 
 
@@ -145,34 +193,69 @@ EXTRACTED_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("warc_ts", T.TimestampType(), True),
-        T.StructField("kind", T.StringType(), False),  # mention | triple
+        T.StructField("kind", T.StringType(), False),  # mention | triple | error
         T.StructField("ord", T.IntegerType(), True),   # mention order in page
         T.StructField("name", T.StringType(), True),
         T.StructField("type", T.StringType(), True),
         T.StructField("email", T.StringType(), True),
         T.StructField("domain", T.StringType(), True),
+        # per-type attributes (entity_extractor.py:181-236 record parse)
+        T.StructField("role", T.StringType(), True),
+        T.StructField("worksAt", T.StringType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("location", T.StringType(), True),
+        T.StructField("labels", T.ArrayType(T.StringType()), True),
         T.StructField("subj_name", T.StringType(), True),
         T.StructField("subj_type", T.StringType(), True),
         T.StructField("pred", T.StringType(), True),
         T.StructField("obj_name", T.StringType(), True),
         T.StructField("obj_type", T.StringType(), True),
         T.StructField("strength", T.FloatType(), True),
+        # mention rows: the source sentence (feeds rawDescriptions);
+        # triple rows: the source sentence; error rows: the error message
         T.StructField("description", T.StringType(), True),
+        T.StructField("relation_tag", T.StringType(), True),
     ]
 )
 
+_NULL_MENTION = {
+    "name": None, "type": None, "email": None, "domain": None,
+    "role": None, "worksAt": None, "title": None, "status": None,
+    "location": None, "labels": None,
+}
+_NULL_TRIPLE = {
+    "subj_name": None, "subj_type": None, "pred": None,
+    "obj_name": None, "obj_type": None, "strength": None, "relation_tag": None,
+}
 
-def extract_page_py(url, warc_ts, text: str) -> list[dict]:
-    """Pure-Python per-page extraction (unit-testable without Spark)."""
+# A page whose text exceeds this is quarantined, not processed: a single
+# pathological page (a multi-hundred-MB crawl artifact) must not blow a
+# worker's memory or stall its task at web scale.
+MAX_TEXT_BYTES = 10_000_000
+
+
+def extract_page_py(url, warc_ts, text: str, max_text_bytes: int = MAX_TEXT_BYTES) -> list[dict]:
+    """Pure-Python per-page extraction (unit-testable without Spark).
+
+    Raises on pathological input (oversized page); the Spark wrapper
+    catches per page and quarantines (kind='error') so one poisoned page
+    never kills the job (reference failed-doc ledger,
+    vespa_email_pipeline.py:61,105-127).
+    """
     rows: list[dict] = []
     if not text:
         return rows
+    if len(text) > max_text_bytes:
+        raise ValueError(
+            f"page text {len(text)} bytes exceeds max_text_bytes={max_text_bytes}"
+        )
     ordinal = 0
     for line in text.split("\n"):
         line = line.strip()
         if not line:
             continue
-        for pat, handler in _PATTERNS:
+        for pat, handler, tag in _PATTERNS:
             m = pat.match(line)
             if m is None:
                 continue
@@ -181,11 +264,10 @@ def extract_page_py(url, warc_ts, text: str) -> list[dict]:
                 rows.append(
                     {
                         "url": url, "warc_ts": warc_ts, "kind": "mention",
-                        "ord": ordinal, "name": mm["name"], "type": mm["type"],
-                        "email": mm.get("email"), "domain": mm.get("domain"),
-                        "subj_name": None, "subj_type": None, "pred": None,
-                        "obj_name": None, "obj_type": None,
-                        "strength": None, "description": None,
+                        "ord": ordinal,
+                        **{k: mm.get(k) for k in _NULL_MENTION},
+                        **_NULL_TRIPLE,
+                        "description": line,
                     }
                 )
                 ordinal += 1
@@ -193,19 +275,22 @@ def extract_page_py(url, warc_ts, text: str) -> list[dict]:
                 rows.append(
                     {
                         "url": url, "warc_ts": warc_ts, "kind": "triple",
-                        "ord": None, "name": None, "type": None,
-                        "email": None, "domain": None,
+                        "ord": None,
+                        **_NULL_MENTION,
                         "subj_name": s["name"], "subj_type": s["type"],
                         "pred": pred, "obj_name": o["name"], "obj_type": o["type"],
                         "strength": STRENGTH_BY_PRED.get(pred, DEFAULT_STRENGTH),
                         "description": line,
+                        "relation_tag": tag,
                     }
                 )
             break  # first matching pattern wins (grammar is unambiguous)
     return rows
 
 
-def extract_mentions_and_triples(pages_text: DataFrame) -> DataFrame:
+def extract_mentions_and_triples(
+    pages_text: DataFrame, max_text_bytes: int = MAX_TEXT_BYTES
+) -> DataFrame:
     """pages(url, warc_ts, text, lang) → unified extracted rows.
 
     Scale notes: the UDF is CPU-bound and embarrassingly parallel — the
@@ -214,6 +299,10 @@ def extract_mentions_and_triples(pages_text: DataFrame) -> DataFrame:
     (url, warc_ts, text) are shipped into Arrow; all other columns pruned.
     Non-English pages are filtered before the UDF (predicate reaches the
     parquet scan — reference's doc_type routing, prompt_factory.py:48-74).
+
+    Per-page failures quarantine as kind='error' rows (description = the
+    error) instead of failing the task: one poisoned page out of 10^9
+    must cost one ledger row, not the job.
     """
     src = (
         pages_text
@@ -226,7 +315,16 @@ def extract_mentions_and_triples(pages_text: DataFrame) -> DataFrame:
         for pdf in batches:
             out: list[dict] = []
             for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
-                out.extend(extract_page_py(url, ts, text))
+                try:
+                    out.extend(extract_page_py(url, ts, text, max_text_bytes))
+                except Exception as exc:  # noqa: BLE001 — quarantine, never die
+                    out.append(
+                        {
+                            "url": url, "warc_ts": ts, "kind": "error",
+                            "ord": None, **_NULL_MENTION, **_NULL_TRIPLE,
+                            "description": f"{type(exc).__name__}: {exc}"[:500],
+                        }
+                    )
             yield pd.DataFrame(out, columns=cols)
 
     return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
@@ -236,7 +334,11 @@ def mentions_of(extracted: DataFrame) -> DataFrame:
     """Mention rows with a stable mention_id and pruned columns."""
     return (
         extracted.filter(F.col("kind") == "mention")
-        .select("url", "warc_ts", "ord", "name", "type", "email", "domain")
+        .select(
+            "url", "warc_ts", "ord", "name", "type", "email", "domain",
+            "role", "worksAt", "title", "status", "location", "labels",
+            "description",
+        )
     )
 
 
@@ -246,6 +348,14 @@ def triples_of(extracted: DataFrame) -> DataFrame:
         extracted.filter(F.col("kind") == "triple")
         .select(
             "url", "warc_ts", "subj_name", "subj_type", "pred",
-            "obj_name", "obj_type", "strength", "description",
+            "obj_name", "obj_type", "strength", "description", "relation_tag",
         )
+    )
+
+
+def errors_of(extracted: DataFrame) -> DataFrame:
+    """Quarantined page rows (kind='error'): url + error message."""
+    return (
+        extracted.filter(F.col("kind") == "error")
+        .select("url", "warc_ts", F.col("description").alias("error"))
     )

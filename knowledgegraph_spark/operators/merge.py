@@ -41,16 +41,28 @@ from knowledgegraph_spark.operators.linking import with_node
 
 
 def merge_strategy_expr(old: Column, new: Column, strategy: str) -> Column:
-    """One merge strategy as a column expression (upsert WHEN MATCHED set)."""
+    """One merge strategy as a column expression (upsert WHEN MATCHED set).
+
+    REPLACE_IF_BETTER is the reference's longer-string-wins
+    (merge_pipeline.py:148-155) refined to a join-semilattice: max by
+    (length, value).  The lexicographic tiebreak makes the operation
+    associative + commutative, so salted folds, incremental upserts, and
+    one-shot folds all converge to the same value regardless of arrival
+    order — the reference's sequential replace-iff-longer is
+    order-dependent on equal lengths.
+    """
     if strategy == PRESERVE_EXISTING:
         return F.coalesce(old, new)
     if strategy == REPLACE_ALWAYS:
         return F.coalesce(new, old)
-    if strategy == REPLACE_IF_BETTER:  # longer string wins (merge_pipeline.py:148-155)
-        return F.when(
-            F.length(F.coalesce(new, F.lit(""))) > F.length(F.coalesce(old, F.lit(""))),
-            new,
-        ).otherwise(old)
+    if strategy == REPLACE_IF_BETTER:
+        def key(c):
+            return F.struct(
+                F.length(F.coalesce(c, F.lit(""))).alias("l"),
+                F.coalesce(c, F.lit("")).alias("v"),
+            )
+
+        return F.when(key(new) > key(old), new).otherwise(old)
     if strategy == APPEND_UNIQUE:
         return F.array_distinct(
             F.concat(
@@ -59,6 +71,15 @@ def merge_strategy_expr(old: Column, new: Column, strategy: str) -> Column:
             )
         )
     raise ValueError(f"unknown merge strategy: {strategy}")
+
+
+def if_better_agg(value: Column) -> Column:
+    """REPLACE_IF_BETTER as an aggregate: max by (length, value) over a
+    group — the within-batch fold form of the upsert strategy (same
+    semilattice, so fold-then-upsert ≡ one big fold)."""
+    return F.max(
+        F.when(value.isNotNull(), F.struct(F.length(value).alias("l"), value.alias("v")))
+    )["v"]
 
 
 def _first_by_order(value: Column, order: Column) -> Column:
@@ -101,21 +122,43 @@ def fold_entities(
     result is bit-identical to the single-phase fold.  0 disables.
     """
     m = with_node(mentions).join(assignments, "node")
+    # attribute columns may be absent on minimal mention frames (older
+    # callers/tests): treat missing as all-null
+    for c in ("role", "worksAt", "title", "status", "location", "description"):
+        if c not in m.columns:
+            m = m.withColumn(c, F.lit(None).cast("string"))
+    if "labels" not in m.columns:
+        m = m.withColumn("labels", F.lit(None).cast("array<string>"))
     order = F.struct(
         F.col("warc_ts").alias("ts"), F.col("url").alias("u"), F.col("ord").alias("i")
     )
     src_url = F.when(~F.col("url").startswith("existing://"), F.col("url"))
+
+    def _fbo(col_name):  # first-by-order partial (min of (order, value))
+        c = F.col(col_name)
+        return F.min(F.when(c.isNotNull(), F.struct(order.alias("o"), c.alias("v"))))
+
     if n_salts and n_salts > 1:
         partial = m.withColumn(
             "__salt", F.pmod(F.xxhash64("url", "ord"), F.lit(n_salts))
         ).groupBy("component", "__salt").agg(
-            F.min(F.when(F.col("name").isNotNull(), F.struct(order.alias("o"), F.col("name").alias("v")))).alias("p_name"),
+            _fbo("name").alias("p_name"),
             F.first("type").alias("type"),
             F.collect_set("name").alias("p_names"),
             F.collect_set("email").alias("p_emails"),
-            F.min(F.when(F.col("domain").isNotNull(), F.struct(order.alias("o"), F.col("domain").alias("v")))).alias("p_dom"),
+            _fbo("domain").alias("p_dom"),
             F.collect_set(src_url).alias("p_sources"),
             F.min(order).alias("p_first"),
+            # per-type attributes — every partial agg is a semilattice op
+            # (min / max / set-union), so the two-phase fold is exact
+            F.collect_set("role").alias("p_role"),
+            F.collect_set("location").alias("p_location"),
+            F.flatten(F.collect_list(F.coalesce(F.col("labels"), F.array()))).alias("p_labels"),
+            _fbo("worksAt").alias("p_worksat"),
+            _fbo("title").alias("p_title"),
+            F.max(F.when(F.col("status").isNotNull(),
+                         F.struct(F.length("status").alias("l"), F.col("status").alias("v")))).alias("p_status"),
+            F.collect_set("description").alias("p_desc"),
         )
         agg = partial.groupBy("component").agg(
             F.min("p_name")["v"].alias("name"),
@@ -125,6 +168,13 @@ def fold_entities(
             F.min("p_dom")["v"].alias("domain"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_sources")))).alias("sources"),
             F.min("p_first").alias("first_seen"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_role")))).alias("role"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_location")))).alias("location"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_labels")))).alias("labels"),
+            F.min("p_worksat")["v"].alias("worksAt"),
+            F.min("p_title")["v"].alias("title"),
+            F.max("p_status")["v"].alias("status"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_desc")))).alias("rawDescriptions"),
         )
     else:
         agg = m.groupBy("component").agg(
@@ -137,11 +187,21 @@ def fold_entities(
             # sentinel aliases that must not leak into provenance
             F.sort_array(F.collect_set(src_url)).alias("sources"),
             F.min(order).alias("first_seen"),
+            F.sort_array(F.collect_set("role")).alias("role"),
+            F.sort_array(F.collect_set("location")).alias("location"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list(F.coalesce(F.col("labels"), F.array()))))).alias("labels"),
+            _first_by_order(F.col("worksAt"), order).alias("worksAt"),
+            _first_by_order(F.col("title"), order).alias("title"),
+            if_better_agg(F.col("status")).alias("status"),
+            F.sort_array(F.collect_set("description")).alias("rawDescriptions"),
         )
     sources = F.col("sources")
     n_sources = F.size("sources")
+    raw_desc = F.col("rawDescriptions")
     if provenance_cap is not None:
         sources = F.slice(F.col("sources"), 1, provenance_cap)
+        # rawDescriptions grow like provenance at web scale — same cap
+        raw_desc = F.slice(F.col("rawDescriptions"), 1, provenance_cap)
     return agg.select(
         "name",
         "type",
@@ -150,6 +210,13 @@ def fold_entities(
         "domain",
         sources.alias("sources"),
         n_sources.alias("n_sources"),
+        "role",
+        "worksAt",
+        "title",
+        "status",
+        "location",
+        "labels",
+        raw_desc.alias("rawDescriptions"),
         F.col("first_seen.ts").alias("firstSeenTs"),
         F.col("first_seen.u").alias("firstSeenUrl"),
         F.col("first_seen.i").alias("firstSeenOrd"),
@@ -217,8 +284,11 @@ def resolve_and_fold_triples(
         F.col("norm_name").alias("o_norm"),
         F.col("canonical").alias("o_canon"),
     )
+    rt = raw_triples
+    if "relation_tag" not in rt.columns:
+        rt = rt.withColumn("relation_tag", F.lit(None).cast("string"))
     t = (
-        raw_triples.withColumn("s_norm", F.lower(F.trim(F.col("subj_name"))))
+        rt.withColumn("s_norm", F.lower(F.trim(F.col("subj_name"))))
         .withColumn("o_norm", F.lower(F.trim(F.col("obj_name"))))
         .join(smap, ["subj_type", "s_norm"], "left")
         .join(omap, ["obj_type", "o_norm"], "left")
@@ -230,6 +300,7 @@ def resolve_and_fold_triples(
             F.col("obj_type"),
             "strength",
             "description",
+            "relation_tag",
             "url",
         )
     )
@@ -242,17 +313,20 @@ def resolve_and_fold_triples(
         ).groupBy(*keys, "__salt").agg(
             F.max("strength").alias("p_strength"),
             F.collect_set("description").alias("p_desc"),
+            F.collect_set("relation_tag").alias("p_tags"),
             F.collect_set("url").alias("p_src"),
         )
         grouped = partial.groupBy(*keys).agg(
             F.max("p_strength").alias("strength"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_desc")))).alias("descriptions"),
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_tags")))).alias("relationTags"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_src")))).alias("sources"),
         )
     else:
         grouped = t.groupBy(*keys).agg(
             F.max("strength").alias("strength"),
             F.sort_array(F.collect_set("description")).alias("descriptions"),
+            F.sort_array(F.collect_set("relation_tag")).alias("relationTags"),
             F.sort_array(F.collect_set("url")).alias("sources"),
         )
     if provenance_cap is not None:

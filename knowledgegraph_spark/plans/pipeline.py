@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 from knowledgegraph_spark.operators.components import assign_components
 from knowledgegraph_spark.operators.extraction import (
+    MAX_TEXT_BYTES,
+    errors_of,
     extract_mentions_and_triples,
     mentions_of,
     triples_of,
@@ -146,6 +148,7 @@ def run_pipeline(
     embed: bool = False,
     page_permissions: DataFrame | None = None,
     max_component_size: int | None = None,
+    max_text_bytes: int = MAX_TEXT_BYTES,
 ) -> Catalog:
     """Materializing run: stage tables + idempotent commits + ledger.
 
@@ -155,6 +158,11 @@ def run_pipeline(
     a kill at any point re-processes only unledgered pages, and the
     upserts are idempotent (append-unique / max / preserve semantics), so
     run-twice ≡ run-once.
+
+    Quarantine contract (reference failed_emails ledger,
+    vespa_email_pipeline.py:61,105-127): a page whose extraction throws
+    lands in ``failed_pages`` with its error and is ledgered
+    status='failed' — skipped on resume until ``admin.reset_failed``.
     """
     cat = Catalog(spark, warehouse)
 
@@ -174,9 +182,15 @@ def run_pipeline(
     # Stage 1+2: text + extraction, materialized once (UDF runs once even
     # though two downstream branches consume it).
     pt = with_extracted_text(todo)
-    ext = extract_mentions_and_triples(pt)
+    ext = extract_mentions_and_triples(pt, max_text_bytes=max_text_bytes)
     cat.write(ext, "stage_extracted")
     ext = cat.read("stage_extracted")
+
+    # Quarantine: error rows → failed_pages side table (O(delta) append).
+    # The kind='error' filter prunes at the parquet scan.
+    failed = errors_of(ext).withColumn("session_id", F.lit(session_id))
+    if not failed.isEmpty():
+        cat.append(failed, "failed_pages")
 
     mentions = mentions_of(ext)
     raw_triples = triples_of(ext)
@@ -269,9 +283,17 @@ def run_pipeline(
         from knowledgegraph_spark.functions.embedding import embedding
 
         ents = cat.read("entity_nodes")
+        # rendering includes rawDescriptions, mirroring the reference's
+        # description-bearing embedding text (ollama_embedder.py:53-101)
         ents = ents.withColumn(
             "embedding",
-            embedding(F.concat_ws(" ", "name", "type", F.concat_ws(" ", "aliases"))),
+            embedding(
+                F.concat_ws(
+                    " ", "name", "type",
+                    F.concat_ws(" ", "aliases"),
+                    F.concat_ws(" ", "rawDescriptions"),
+                )
+            ),
         )
         cat.write(ents, "entity_nodes")
         trs = cat.read("triples")
@@ -281,16 +303,19 @@ def run_pipeline(
         cat.write(trs, "triples")
 
     # Ledger commit LAST: a crash before this line re-processes the pages
-    # (idempotent); after it, they are skipped.
+    # (idempotent); after it, they are skipped.  Append-only O(delta):
+    # todo was already anti-joined against the ledger, so appended urls
+    # are new by construction — no whole-ledger rewrite per batch.
+    failed_urls = failed.select("url").distinct().withColumn("__failed", F.lit(True))
     ledger = (
-        todo.select("url")
-        .withColumn("session_id", F.lit(session_id))
-        .withColumn("status", F.lit("ok"))
-        .withColumn("processed_at", F.current_timestamp())
+        todo.select("url").distinct()
+        .join(failed_urls, "url", "left")
+        .select(
+            "url",
+            F.lit(session_id).alias("session_id"),
+            F.when(F.col("__failed"), F.lit("failed")).otherwise(F.lit("ok")).alias("status"),
+            F.current_timestamp().alias("processed_at"),
+        )
     )
-    if cat.exists("checkpoint_ledger"):
-        merged = cat.read("checkpoint_ledger").unionByName(ledger).dropDuplicates(["url"])
-        cat.write(merged, "checkpoint_ledger")
-    else:
-        cat.write(ledger, "checkpoint_ledger")
+    cat.append(ledger, "checkpoint_ledger")
     return cat

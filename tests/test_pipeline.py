@@ -53,6 +53,48 @@ def test_entities_match_oracle_exactly(kg, corpus):
     assert got == want
 
 
+def test_entity_attributes_match_oracle(kg, corpus):
+    """X3 parity: per-type attributes folded with their configured
+    strategies (role/location/labels append-unique, worksAt/title
+    preserve-first, status if-better) match the independent oracle."""
+    got = {
+        (r.name, r.type): (
+            tuple(r.role), tuple(r.location), tuple(r.labels),
+            r.worksAt, r.title, r.status, tuple(r.rawDescriptions),
+        )
+        for r in kg.entities.collect()
+    }
+    want = {
+        (e["name"], e["type"]): (
+            tuple(e["role"]), tuple(e["location"]), tuple(e["labels"]),
+            e["worksAt"], e["title"], e["status"], tuple(e["rawDescriptions"]),
+        )
+        for e in oracle_entities(corpus)
+    }
+    assert got == want
+    # the corpus must actually exercise each attribute family
+    assert any(v[0] for v in want.values()), "no roles planted"
+    assert any(v[4] for v in want.values()), "no titles planted"
+    assert any(v[5] for v in want.values()), "no statuses planted"
+    assert any(v[2] for v in want.values()), "no labels planted"
+
+
+def test_relation_tags_match_oracle(kg, corpus):
+    """A4 parity: relationTags merged append-unique per relation."""
+    got = {
+        (r.subj, r.pred, r.obj): tuple(r.relationTags) for r in kg.triples.collect()
+    }
+    planted = 0
+    for t in oracle_triples(corpus):
+        k = (t["subj"], t["pred"], t["obj"])
+        assert got[k] == tuple(t["relationTags"]), k
+        planted += len(t["relationTags"])
+    assert planted > 0
+    # at least one WORKS_AT edge seen under both the plain and the
+    # role-bearing pattern carries both tags
+    assert any(len(v) > 1 for v in got.values())
+
+
 def test_relation_ids_are_systematic_sha256(kg):
     import hashlib
 
@@ -122,6 +164,49 @@ def test_later_run_preserves_embeddings_and_permissions(spark, tmp_path):
     assert surviving <= kept
     t2 = cat2.read("triples")
     assert "permissions" in t2.columns
+
+
+def test_poisoned_page_quarantines_and_resets(spark, tmp_path):
+    """O5 parity: a page whose extraction throws is quarantined (ledgered
+    status='failed' + failed_pages row) without killing the job; it is
+    skipped on resume; after reset_failed a rerun processes it."""
+    from knowledgegraph_spark.admin import reset_failed
+    from knowledgegraph_spark.sources.catalog import Catalog
+
+    c = generate_corpus(20, seed=5)
+    assert all(len(g) < 5000 for g in c["goldens"].values())
+    poison = {
+        "url": "https://poison.example/huge",
+        "warc_ts": None,
+        "html": None,
+        "text": "word " * 2000,  # 10k chars > max_text_bytes below
+        "lang": "en",
+    }
+    pages = spark.createDataFrame(
+        [Row(**p) for p in c["pages"]] + [Row(**poison)], schema=PAGES_SCHEMA
+    )
+    wh = str(tmp_path / "wh")
+    cat = run_pipeline(spark, pages, wh, session_id="a", max_text_bytes=5000)
+
+    failed = cat.read("failed_pages").collect()
+    assert len(failed) == 1 and failed[0].url == poison["url"]
+    assert "max_text_bytes" in failed[0].error
+    led = {r.url: r.status for r in cat.read("checkpoint_ledger").collect()}
+    assert led[poison["url"]] == "failed"
+    assert all(s == "ok" for u, s in led.items() if u != poison["url"])
+    n_triples = cat.read("triples").count()
+    assert n_triples > 0  # the rest of the batch committed
+
+    # resume: the failed page stays quarantined, nothing reprocessed
+    run_pipeline(spark, pages, wh, session_id="b", max_text_bytes=5000)
+    assert cat.read("failed_pages").count() == 1
+
+    # retry-reset, then a rerun with the default limit processes it
+    assert reset_failed(cat) == 1
+    assert not cat.exists("failed_pages")
+    run_pipeline(spark, pages, wh, session_id="c")
+    led2 = {r.url: r.status for r in cat.read("checkpoint_ledger").collect()}
+    assert led2[poison["url"]] == "ok"
 
 
 def test_incremental_equals_oneshot(spark, tmp_path):

@@ -55,11 +55,18 @@ def test_semantic_search_self_top(kg):
 def test_two_hop_paths(kg):
     from knowledgegraph_spark.query import two_hop
 
+    from pyspark.sql import functions as F
+
     t = kg.triples.first()
-    paths = two_hop(kg.triples, t.subj, limit=200).collect()
-    # every 1-hop neighbor with further edges must appear as a mid
-    assert any(p.mid == t.obj for p in paths) or len(paths) == 0
+    paths = two_hop(kg.triples, t.subj, limit=10**6).collect()
     assert all(p.neighbor != t.subj for p in paths)
+    # t.obj is a 1-hop neighbor: it appears as a mid iff it has any onward
+    # (undirected) edge to a node other than the origin
+    onward = kg.triples.filter(
+        ((F.col("subj") == t.obj) & (F.col("obj") != t.subj))
+        | ((F.col("obj") == t.obj) & (F.col("subj") != t.subj))
+    ).count()
+    assert (onward > 0) == any(p.mid == t.obj for p in paths)
 
 
 def test_neighborhood_subgraph(kg):
