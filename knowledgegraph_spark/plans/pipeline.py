@@ -149,6 +149,7 @@ def run_pipeline(
     page_permissions: DataFrame | None = None,
     max_component_size: int | None = None,
     max_text_bytes: int = MAX_TEXT_BYTES,
+    n_buckets: int = 64,
 ) -> Catalog:
     """Materializing run: stage tables + idempotent commits + ledger.
 
@@ -222,7 +223,19 @@ def run_pipeline(
     cat.write(triples, "stage_triples")
     entities_f = cat.read("stage_entities")
     triples = cat.read("stage_triples")
-    entities = entities_f.drop("component")
+
+    if existing is not None:
+        # O(delta) incoming set: a component with no REAL mention in this
+        # batch is an unchanged existing entity re-entering only as a
+        # pseudo-mention — excluding it keeps the upsert (and the set of
+        # touched buckets below) proportional to the batch, not the table.
+        real_nodes = with_node(
+            mentions.filter(F.col("existing_name").isNull())
+        ).select("node").distinct()
+        active = assignments.join(real_nodes, "node").select("component").distinct()
+        entities = entities_f.join(active, "component", "left_semi").drop("component")
+    else:
+        entities = entities_f.drop("component")
 
     # createdAt/lastUpdated stamps (kuzu_db_handler.py:222,326,420,562):
     # upsert semantics keep the existing createdAt and take the incoming
@@ -230,6 +243,58 @@ def run_pipeline(
     now = F.date_format(F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'")
     entities = entities.withColumn("createdAt", now).withColumn("lastUpdated", now)
     triples = triples.withColumn("createdAt", now).withColumn("lastUpdated", now)
+
+    # ---- single-commit merge ------------------------------------------------
+    # Permissions and embeddings compose lazily onto the merged frame, so
+    # each table commits ONCE per run (previously up to three full
+    # rewrites).  Tables are partitioned by a hash bucket of their key;
+    # incremental batches read and replace only the touched buckets — the
+    # parquet-expressible form of Iceberg MERGE INTO (O(delta) commits,
+    # not O(table)).
+    def _bucket(col_name: str):
+        return F.pmod(F.xxhash64(col_name), F.lit(n_buckets)).cast("int")
+
+    def _finalize_entities(df: DataFrame) -> DataFrame:
+        if page_permissions is not None:
+            # O6: document -> entity permission propagation
+            df = propagate_permissions(
+                df.drop("permissions"), page_permissions, ["type", "name"]
+            )
+        if embed:
+            # deterministic embeddings over text renderings, including
+            # rawDescriptions (reference: ollama_embedder.py:53-101)
+            from knowledgegraph_spark.functions.embedding import embedding
+
+            df = df.withColumn(
+                "embedding",
+                embedding(
+                    F.concat_ws(
+                        " ", "name", "type",
+                        F.concat_ws(" ", "aliases"),
+                        F.concat_ws(" ", "rawDescriptions"),
+                    )
+                ),
+            )
+        return df.withColumn("bucket", _bucket("name"))
+
+    def _finalize_triples(df: DataFrame) -> DataFrame:
+        if page_permissions is not None:
+            df = propagate_permissions(
+                df.drop("permissions"), page_permissions, ["relation_id"]
+            )
+        if embed:
+            from knowledgegraph_spark.functions.embedding import embedding
+
+            df = df.withColumn(
+                "embedding", embedding(F.concat_ws(" ", "subj", "pred", "obj"))
+            )
+        return df.withColumn("bucket", _bucket("relation_id"))
+
+    def _collect_buckets(*frames) -> list[int]:
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        return sorted(r.b for r in u.distinct().collect())
 
     if existing is not None and cat.exists("entity_nodes"):
         # Re-canonicalization: new evidence can merge entities that earlier
@@ -249,58 +314,82 @@ def run_pipeline(
         )
         cat.write(renames, "stage_renames")
         renames = cat.read("stage_renames")
+        have_renames = not renames.isEmpty()
 
-        renamed_nodes = apply_renames_to_nodes(cat.read("entity_nodes"), renames)
-        cat.write(upsert_entities(renamed_nodes, entities), "entity_nodes")
+        e_table = cat.read("entity_nodes")
+        if "bucket" in e_table.columns:
+            # touched buckets: incoming names, plus both sides of every
+            # rename (the absorbed row leaves its bucket, the canonical
+            # row's bucket receives the fold)
+            parts = [entities.select(_bucket("name").alias("b"))]
+            if have_renames:
+                parts += [
+                    renames.select(_bucket("old_name").alias("b")),
+                    renames.select(_bucket("canonical").alias("b")),
+                ]
+            touched_e = _collect_buckets(*parts)
+            e_subset = e_table.filter(F.col("bucket").isin(touched_e)).drop("bucket")
+            merged_e = upsert_entities(apply_renames_to_nodes(e_subset, renames), entities)
+            cat.replace_partitions(_finalize_entities(merged_e), "entity_nodes", "bucket", touched_e)
+        else:
+            # legacy unbucketed table: one-time full migration
+            merged_e = upsert_entities(apply_renames_to_nodes(e_table, renames), entities)
+            cat.write(_finalize_entities(merged_e), "entity_nodes", partition_by=["bucket"])
+
         if cat.exists("triples"):
+            t_table = cat.read("triples")
+            if "bucket" in t_table.columns:
+                parts = [triples.select(_bucket("relation_id").alias("b"))]
+                if have_renames:
+                    # existing triples whose endpoints are renamed leave
+                    # their bucket and land (possibly merged) at the bucket
+                    # of their recomputed relation_id
+                    rs = renames.select(
+                        F.col("type").alias("subj_type"),
+                        F.col("old_name").alias("subj"),
+                        F.col("canonical").alias("s_new"),
+                    )
+                    ro = renames.select(
+                        F.col("type").alias("obj_type"),
+                        F.col("old_name").alias("obj"),
+                        F.col("canonical").alias("o_new"),
+                    )
+                    aff = (
+                        t_table.join(F.broadcast(rs), ["subj_type", "subj"], "left")
+                        .join(F.broadcast(ro), ["obj_type", "obj"], "left")
+                        .filter(F.col("s_new").isNotNull() | F.col("o_new").isNotNull())
+                        .select(
+                            "relation_id",
+                            F.sha2(
+                                F.concat_ws(
+                                    "::",
+                                    F.coalesce(F.col("s_new"), F.col("subj")),
+                                    F.col("pred"),
+                                    F.coalesce(F.col("o_new"), F.col("obj")),
+                                ),
+                                256,
+                            ).alias("new_id"),
+                        )
+                    )
+                    parts += [
+                        aff.select(_bucket("relation_id").alias("b")),
+                        aff.select(_bucket("new_id").alias("b")),
+                    ]
+                touched_t = _collect_buckets(*parts)
+                t_subset = t_table.filter(F.col("bucket").isin(touched_t)).drop("bucket")
+                merged_t = upsert_triples(apply_renames_to_triples(t_subset, renames), triples)
+                cat.replace_partitions(_finalize_triples(merged_t), "triples", "bucket", touched_t)
+            else:
+                merged_t = upsert_triples(apply_renames_to_triples(t_table, renames), triples)
+                cat.write(_finalize_triples(merged_t), "triples", partition_by=["bucket"])
+        else:
             # guard: a kill between the first-run entity write and triple
             # write leaves entity_nodes without triples — resume must not
             # crash on the missing table
-            rewritten = apply_renames_to_triples(cat.read("triples"), renames)
-            cat.write(upsert_triples(rewritten, triples), "triples")
-        else:
-            cat.write(triples, "triples")
+            cat.write(_finalize_triples(triples), "triples", partition_by=["bucket"])
     else:
-        cat.write(entities, "entity_nodes")
-        cat.write(triples, "triples")
-
-    if page_permissions is not None:
-        # O6: document -> entity/relation permission propagation
-        ents = propagate_permissions(
-            cat.read("entity_nodes").drop("permissions"),
-            page_permissions, ["type", "name"],
-        )
-        cat.write(ents, "entity_nodes")
-        trs = propagate_permissions(
-            cat.read("triples").drop("permissions"),
-            page_permissions, ["relation_id"],
-        )
-        cat.write(trs, "triples")
-
-    if embed:
-        # deterministic embeddings over text renderings (reference:
-        # ollama_embedder.py:53-101), stored in the materialized tables
-        from knowledgegraph_spark.functions.embedding import embedding
-
-        ents = cat.read("entity_nodes")
-        # rendering includes rawDescriptions, mirroring the reference's
-        # description-bearing embedding text (ollama_embedder.py:53-101)
-        ents = ents.withColumn(
-            "embedding",
-            embedding(
-                F.concat_ws(
-                    " ", "name", "type",
-                    F.concat_ws(" ", "aliases"),
-                    F.concat_ws(" ", "rawDescriptions"),
-                )
-            ),
-        )
-        cat.write(ents, "entity_nodes")
-        trs = cat.read("triples")
-        trs = trs.withColumn(
-            "embedding", embedding(F.concat_ws(" ", "subj", "pred", "obj"))
-        )
-        cat.write(trs, "triples")
+        cat.write(_finalize_entities(entities), "entity_nodes", partition_by=["bucket"])
+        cat.write(_finalize_triples(triples), "triples", partition_by=["bucket"])
 
     # Ledger commit LAST: a crash before this line re-processes the pages
     # (idempotent); after it, they are skipped.  Append-only O(delta):

@@ -85,6 +85,35 @@ class Catalog:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
+    def replace_partitions(
+        self, df: DataFrame, table: str, partition_col: str, values: list
+    ) -> None:
+        """Replace exactly the given partition directories — the
+        parquet-catalog form of Iceberg's partition-scoped MERGE commit.
+
+        ``df`` must hold the COMPLETE new content of those partitions.
+        The new data is staged to a tmp dir first, then each touched
+        partition dir is swapped in with a directory rename; partitions
+        not listed are never touched, so an incremental batch costs
+        O(touched partitions), not O(table).  A touched partition with
+        no surviving rows is deleted (dynamic partition overwrite cannot
+        express that case).  A crash mid-swap leaves some partitions
+        updated and some not — callers order the ledger commit last, so
+        a rerun re-applies the same idempotent merge and heals the table.
+        """
+        final = self.path(table)
+        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        try:
+            for v in values:
+                dst = os.path.join(final, f"{partition_col}={v}")
+                src = os.path.join(tmp, f"{partition_col}={v}")
+                shutil.rmtree(dst, ignore_errors=True)
+                if os.path.isdir(src):
+                    os.rename(src, dst)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def append(self, df: DataFrame, table: str) -> None:
         """Append-only commit for log-style tables (metrics, ledgers).
 

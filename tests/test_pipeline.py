@@ -166,6 +166,54 @@ def test_later_run_preserves_embeddings_and_permissions(spark, tmp_path):
     assert "permissions" in t2.columns
 
 
+def test_incremental_rewrites_only_touched_buckets(spark, tmp_path):
+    """O(delta) commit: an incremental batch must replace only the hash
+    buckets containing touched keys — untouched bucket dirs stay
+    byte-identical on disk (same files, same mtimes)."""
+    import os
+
+    from knowledgegraph_spark.sources.catalog import Catalog
+
+    def snapshot(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("bucket="):
+                p = os.path.join(path, d)
+                out[d] = sorted(
+                    (f, os.path.getmtime(os.path.join(p, f))) for f in os.listdir(p)
+                )
+        return out
+
+    c = generate_corpus(80, seed=11)
+    pages = spark.createDataFrame([Row(**p) for p in c["pages"]], schema=PAGES_SCHEMA)
+    half1 = pages.filter("warc_ts < timestamp'2024-01-01 01:31:20'")
+    wh = str(tmp_path / "wh")
+    run_pipeline(spark, half1, wh, session_id="a", n_buckets=256)
+    cat = Catalog(spark, wh)
+    before_e = snapshot(cat.path("entity_nodes"))
+    before_t = snapshot(cat.path("triples"))
+
+    run_pipeline(spark, pages, wh, session_id="b", n_buckets=256)
+    after_e = snapshot(cat.path("entity_nodes"))
+    after_t = snapshot(cat.path("triples"))
+
+    untouched_e = [d for d in before_e if after_e.get(d) == before_e[d]]
+    untouched_t = [d for d in before_t if after_t.get(d) == before_t[d]]
+    assert untouched_e, "entity upsert rewrote every bucket"
+    assert untouched_t, "triple upsert rewrote every bucket"
+    assert len(untouched_e) < len(after_e) or len(before_e) == len(after_e)
+
+    # and the O(delta) path still produces exactly the one-shot tables
+    wh1 = str(tmp_path / "one")
+    cat1 = run_pipeline(spark, pages, wh1, session_id="x", n_buckets=256)
+    t_inc = {(r.subj, r.pred, r.obj) for r in cat.read("triples").collect()}
+    t_one = {(r.subj, r.pred, r.obj) for r in cat1.read("triples").collect()}
+    assert t_inc == t_one
+    e_inc = sorted((r.type, r.name) for r in cat.read("entity_nodes").collect())
+    e_one = sorted((r.type, r.name) for r in cat1.read("entity_nodes").collect())
+    assert e_inc == e_one
+
+
 def test_poisoned_page_quarantines_and_resets(spark, tmp_path):
     """O5 parity: a page whose extraction throws is quarantined (ledgered
     status='failed' + failed_pages row) without killing the job; it is
