@@ -43,15 +43,24 @@ spark.stop()
 """
 
 CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from knowledgegraph_spark import get_spark
 from knowledgegraph_spark.plans.pipeline import build_kg
 from knowledgegraph_spark.operators.extraction import extract_mentions_and_triples
 from knowledgegraph_spark.operators.html_text import with_extracted_text
 cpus = int(sys.argv[1]); path = sys.argv[2]
+conf = {{"spark.ui.showConsoleProgress": "false"}}
+# KG_SCALE_MEM_PER_CORE=<GiB>: hold memory-per-core constant across the
+# two levels (a real N->4N cluster scales total memory with executors;
+# a fixed heap gives the hi level 1/4 the memory per core and charges
+# its GC pressure against scaling efficiency).  Off by default so the
+# measurement series stays protocol-comparable.
+mpc = os.environ.get("KG_SCALE_MEM_PER_CORE")
+if mpc:
+    conf["spark.driver.memory"] = f"{{int(mpc) * cpus}}g"
 spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf=conf)
 pages = spark.read.parquet(path)
 extract_mentions_and_triples(with_extracted_text(pages.limit(256))).count()  # warm workers
 t0 = time.time()
