@@ -456,6 +456,42 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J1: star join over the dimension chain orders→customer→nation→
+    region with broadcast dims — revenue per (region, nation)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim coverage: suppliers per region with account-balance stats."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+            F.round(F.max("s_acctbal"), 2).alias("max_acctbal"),
+        )
+    )
+
+
 def q_merge_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: merge strategies as row expressions (preserve / if-better),
     via the library's merge_strategy_expr (if-better = max by
@@ -656,6 +692,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_fold": q_entity_fold,
         "relation_group": q_relation_group,
         "window_rank": q_window_rank,
+        "dim_join": q_dim_join,
+        "supplier_stats": q_supplier_stats,
         "merge_exprs": q_merge_exprs,
         "sha_ids": q_sha_ids,
         "stats_by_lang": q_stats_by_lang,
@@ -950,6 +988,24 @@ SELECT user_id, event_id, event_type FROM (
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
 ) WHERE rn = 1
+""",
+        "dim_join": """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "supplier_stats": """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(avg(s_acctbal), 4) AS avg_acctbal,
+       round(max(s_acctbal), 2) AS max_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
 """,
         "merge_exprs": """
 SELECT p_partkey,

@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Per-stage scaling profile: which pipeline stage stops scaling N→4N?
+
+Runs the KG pipeline stage by stage at two taskset-pinned parallelism
+levels over the same parquet input, materializing each stage boundary so
+each timing covers exactly one stage:
+
+  extract   html→text + mention/triple UDF (write stage parquet)
+  link      match keys → star edges (count)
+  cc        connected components to fixpoint (write assignments)
+  fold_e    entity fold (count)
+  fold_t    endpoint resolve + triple fold (count)
+
+Prints one JSON line with per-stage seconds at each level and the
+per-stage scaling efficiency — the diagnosis tool for the serial
+component S(input) observed in BENCH/BASELINE.md.
+
+Usage: python scripts/profile_stages.py [n_pages] [lo_cpus] [hi_cpus]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from knowledgegraph_spark import get_spark
+from knowledgegraph_spark.corpus import pages_dataframe
+spark = get_spark("gen", master="local[8]", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+pages_dataframe(spark, int(sys.argv[1])).write.mode("overwrite").parquet(sys.argv[2])
+spark.stop()
+"""
+
+CHILD = r"""
+import json, sys, time, tempfile
+sys.path.insert(0, {repo!r})
+from knowledgegraph_spark import get_spark
+from knowledgegraph_spark.operators.extraction import (
+    extract_mentions_and_triples, mentions_of, triples_of)
+from knowledgegraph_spark.operators.html_text import with_extracted_text
+from knowledgegraph_spark.operators.linking import (
+    match_edges, mention_match_keys, with_node)
+from knowledgegraph_spark.operators.components import assign_components
+from knowledgegraph_spark.operators.merge import (
+    canonical_mapping, fold_entities, resolve_and_fold_triples)
+
+cpus = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark("profile", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+pages = spark.read.parquet(path)
+extract_mentions_and_triples(with_extracted_text(pages.limit(256))).count()  # warm
+
+tmp = tempfile.mkdtemp(prefix="kg_prof_")
+t = {{}}
+
+t0 = time.time()
+ext = extract_mentions_and_triples(with_extracted_text(pages))
+ext.write.mode("overwrite").parquet(f"{{tmp}}/ext")
+t["extract"] = time.time() - t0
+
+ext = spark.read.parquet(f"{{tmp}}/ext")
+mentions = mentions_of(ext)
+raw_triples = triples_of(ext)
+
+t0 = time.time()
+keys = mention_match_keys(mentions)
+edges = match_edges(keys)
+edges.write.mode("overwrite").parquet(f"{{tmp}}/edges")
+t["link"] = time.time() - t0
+
+edges = spark.read.parquet(f"{{tmp}}/edges")
+nodes = with_node(mentions).select("node")
+t0 = time.time()
+assignments = assign_components(nodes, edges)
+assignments.write.mode("overwrite").parquet(f"{{tmp}}/asg")
+t["cc"] = time.time() - t0
+
+assignments = spark.read.parquet(f"{{tmp}}/asg")
+t0 = time.time()
+ents = fold_entities(mentions, assignments)
+ents.write.mode("overwrite").parquet(f"{{tmp}}/ents")
+t["fold_e"] = time.time() - t0
+
+ents = spark.read.parquet(f"{{tmp}}/ents")
+t0 = time.time()
+mapping = canonical_mapping(mentions, assignments, canon=ents)
+n = resolve_and_fold_triples(raw_triples, mapping).count()
+t["fold_t"] = time.time() - t0
+
+t["n_triples"] = n
+print(json.dumps({{"cpus": cpus, "stages": t}}))
+spark.stop()
+"""
+
+
+def main():
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+
+    tmp = tempfile.mkdtemp(prefix="kg_profpages_")
+    pages = os.path.join(tmp, "pages")
+    try:
+        subprocess.run(
+            [sys.executable, "-c", GEN.format(repo=REPO), str(n_pages), pages],
+            check=True, cwd=REPO, timeout=3600, capture_output=True, text=True,
+        )
+
+        def run(cpus):
+            n_host = os.cpu_count() or 32
+            cmd = [
+                "taskset", "-c", f"{n_host - cpus}-{n_host - 1}",
+                sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), pages,
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                                 timeout=int(os.environ.get("KG_SCALE_TIMEOUT", "5400")))
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if not lines:
+                raise RuntimeError(out.stderr[-2000:])
+            return json.loads(lines[-1])
+
+        r_lo, r_hi = run(lo), run(hi)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stages = [k for k in r_lo["stages"] if k != "n_triples"]
+    eff = {
+        k: round(r_lo["stages"][k] / (hi / lo * r_hi["stages"][k]), 3)
+        for k in stages
+    }
+    print(json.dumps({
+        "n_pages": n_pages,
+        f"sec_local{lo}": {k: round(r_lo["stages"][k], 1) for k in stages},
+        f"sec_local{hi}": {k: round(r_hi["stages"][k], 1) for k in stages},
+        "stage_efficiency": eff,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,25 @@ def test_batch_topk_is_two_phase(spark):
     assert top_q0 == [19, 18, 17]
 
 
+def test_bucket_filter_prunes_partitions(spark, tmp_path):
+    """The O(delta) upsert reads existing tables with a bucket IN (...)
+    filter — that filter must reach the scan as a PartitionFilter (only
+    touched bucket dirs listed/read), not a post-scan Filter."""
+    from knowledgegraph_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(200).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), F.lit(16)).cast("int").alias("bucket")
+    )
+    cat.write(df, "t", partition_by=["bucket"])
+    plan = _plan(cat.read("t").filter(F.col("bucket").isin([1, 2, 3])))
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+
+
 def test_mega_component_guard(spark):
     from knowledgegraph_spark.operators.components import assign_components
 
