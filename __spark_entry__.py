@@ -399,6 +399,36 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "vec_id")
 
 
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs, exact brute force (the correctness
+    baseline the LSH-bucketed variant is recall-tested against in
+    tests/test_similarity.py — LSH itself is not SQL-expressible)."""
+    from knowledgegraph_spark.operators.similarity import cosine
+
+    e = _emb(spark, sf_dir).withColumn("v", F.col("embedding").cast("array<double>"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+        .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, long format
+    (label, dim, mean_val) — element-wise vector aggregation."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+        .groupBy("label", "dim")
+        # + 0.0 normalizes IEEE -0.0 after rounding (engines disagree)
+        .agg((F.round(F.avg("x"), 4) + F.lit(0.0)).alias("mean_val"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational operator family (F/J/A/W classes on events/orders/lineitem)
 # ---------------------------------------------------------------------------
@@ -687,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
+        "near_dup_pairs": q_near_dup_pairs,
+        "label_centroids": q_label_centroids,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
         "entity_fold": q_entity_fold,
@@ -960,6 +992,17 @@ SELECT query_id, rank, vec_id FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM scored
 ) WHERE rank <= 5
+""",
+        "near_dup_pairs": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "label_centroids": """
+SELECT label, r.i AS dim, round(avg(embedding[r.i + 1]), 4) + 0.0 AS mean_val
+FROM embeddings JOIN range(0, 100000) r(i) ON r.i <= len(embedding) - 1
+GROUP BY label, r.i
 """,
         "anti_join": """
 SELECT o_orderkey, o_custkey FROM orders o
