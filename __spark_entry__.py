@@ -256,6 +256,18 @@ def q_one_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(inc)
 
 
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop undirected paths from the head term in the co-occurrence
+    graph (library two_hop over a triple-shaped frame, J9 extension)."""
+    from knowledgegraph_spark.operators.cooccur import term_graph
+    from knowledgegraph_spark.query import two_hop
+
+    g = term_graph(_docs(spark, sf_dir)).select(
+        "subj", F.col("pred"), "obj"
+    )
+    return two_hop(g, "data", limit=10**9).select("mid", "neighbor")
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
@@ -706,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_graph": q_term_graph,
         "term_nodes": q_term_nodes,
         "one_hop": q_one_hop,
+        "two_hop": q_two_hop,
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "minhash_sigs": q_minhash_sigs,
@@ -903,6 +916,15 @@ SELECT name, count(*) AS occurrences, count(DISTINCT doc) AS n_docs FROM toks GR
 SELECT 'out' AS direction, obj AS neighbor, weight FROM g WHERE subj = 'data'
 UNION ALL
 SELECT 'in' AS direction, subj AS neighbor, weight FROM g WHERE obj = 'data'
+""",
+        "two_hop": bigrams
+        + """
+, g AS (SELECT DISTINCT subj, obj FROM bg),
+und AS (SELECT subj AS a, obj AS b FROM g UNION SELECT obj, subj FROM g),
+hop1 AS (SELECT DISTINCT b AS mid FROM und WHERE a = 'data')
+SELECT DISTINCT h.mid, u.b AS neighbor
+FROM hop1 h JOIN und u ON u.a = h.mid
+WHERE u.b <> 'data'
 """,
         "dedup_exact": """
 WITH fp AS (
