@@ -150,6 +150,7 @@ def run_pipeline(
     max_component_size: int | None = None,
     max_text_bytes: int = MAX_TEXT_BYTES,
     n_buckets: int = 64,
+    record_stage_metrics: bool = False,
 ) -> Catalog:
     """Materializing run: stage tables + idempotent commits + ledger.
 
@@ -187,6 +188,16 @@ def run_pipeline(
     cat.write(ext, "stage_extracted")
     ext = cat.read("stage_extracted")
 
+    def _metrics(df: DataFrame, stage: str) -> None:
+        # per-partition lineage: JVM-side counts, append-only commit —
+        # one cheap extra job per stage when enabled
+        if record_stage_metrics:
+            from knowledgegraph_spark.checkpoint import record_metrics
+
+            record_metrics(cat, df, session_id, stage)
+
+    _metrics(ext, "extracted")
+
     # Quarantine: error rows → failed_pages side table (O(delta) append).
     # The kind='error' filter prunes at the parquet scan.
     failed = errors_of(ext).withColumn("session_id", F.lit(session_id))
@@ -209,6 +220,7 @@ def run_pipeline(
     assignments = assign_components(nodes, edges, max_component_size=max_component_size)
     cat.write(assignments, "stage_assignments")
     assignments = cat.read("stage_assignments")
+    _metrics(assignments, "assignments")
 
     entities_f = fold_entities(mentions, assignments, provenance_cap=provenance_cap)
     mapping = canonical_mapping(mentions, assignments, canon=entities_f)
@@ -223,6 +235,8 @@ def run_pipeline(
     cat.write(triples, "stage_triples")
     entities_f = cat.read("stage_entities")
     triples = cat.read("stage_triples")
+    _metrics(entities_f, "entities")
+    _metrics(triples, "triples")
 
     if existing is not None:
         # O(delta) incoming set: a component with no REAL mention in this

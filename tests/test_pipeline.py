@@ -257,6 +257,17 @@ def test_poisoned_page_quarantines_and_resets(spark, tmp_path):
     assert led2[poison["url"]] == "ok"
 
 
+def test_stage_metrics_recorded(spark, pages_df, tmp_path):
+    from knowledgegraph_spark.checkpoint import stage_summary
+
+    wh = str(tmp_path / "wh")
+    cat = run_pipeline(spark, pages_df, wh, session_id="m1", record_stage_metrics=True)
+    summary = {r.stage: r for r in stage_summary(cat).collect()}
+    assert {"extracted", "assignments", "entities", "triples"} <= set(summary)
+    assert summary["triples"].rows == cat.read("stage_triples").count()
+    assert all(r.n_partitions >= 1 for r in summary.values())
+
+
 def test_incremental_equals_oneshot(spark, tmp_path):
     """Kill/resume equivalence: half the pages, then the rest, ≡ one shot.
 
