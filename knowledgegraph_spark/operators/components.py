@@ -83,6 +83,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpointer=None,
+    compress_ids: bool = True,
 ) -> DataFrame:
     """edges(src, dst) → assignments(node, component).
 
@@ -94,6 +95,14 @@ def connected_components(
     ``checkpointer``: optional fn(df) -> df used to truncate lineage per
     round; defaults to eager ``localCheckpoint`` (sandbox/local). Pass a
     reliable ``df.checkpoint`` wrapper on a real cluster.
+
+    ``compress_ids``: run the iterative loop over xxhash64-compressed
+    node ids instead of the (long) string keys — every round shuffles
+    8-byte longs instead of ~20-40-byte strings, which is the dominant
+    per-round cost at web scale.  Injectivity is VERIFIED up front (one
+    aggregation); on any collision the loop falls back to string ids, so
+    correctness never depends on hash luck.  Labels are restored to the
+    exact min-string contract by one relabel join at the end.
     """
     if checkpointer is None:
         def checkpointer(df: DataFrame) -> DataFrame:
@@ -106,6 +115,30 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+
+    mapping = None
+    if compress_ids:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        mapping = nodes.select("node", F.xxhash64("node").alias("nid")).persist()
+        stats = mapping.agg(
+            F.count("*").alias("n"), F.countDistinct("nid").alias("d")
+        ).collect()[0]
+        if int(stats["n"]) != int(stats["d"]):
+            mapping.unpersist()
+            mapping = None  # collision: fall back to string ids
+        else:
+            ms = mapping.select(F.col("node").alias("src"), F.col("nid").alias("s_id"))
+            md = mapping.select(F.col("node").alias("dst"), F.col("nid").alias("d_id"))
+            e = (
+                e.join(ms, "src")
+                .join(md, "dst")
+                .select(F.col("s_id").alias("src"), F.col("d_id").alias("dst"))
+            )
+
     prev_fp = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e))
@@ -119,7 +152,24 @@ def connected_components(
     roots = assignments.select(
         F.col("component").alias("node"), F.col("component")
     ).distinct()
-    return assignments.union(roots).distinct()
+    out = assignments.union(roots).distinct()
+
+    if mapping is not None:
+        # back to strings + restore the min-STRING label (the hash-space
+        # min is deterministic but not the documented lexicographic min)
+        mn = mapping.select(F.col("nid").alias("node"), F.col("node").alias("node_s"))
+        mc = mapping.select(F.col("nid").alias("component"), F.col("node").alias("comp_s"))
+        named = (
+            out.join(mn, "node")
+            .join(mc, "component")
+            .select(F.col("node_s").alias("node"), F.col("comp_s").alias("component"))
+        )
+        relabel = named.groupBy("component").agg(F.min("node").alias("label"))
+        out = (
+            named.join(relabel, "component")
+            .select("node", F.col("label").alias("component"))
+        )
+    return out
 
 
 def assign_components(

@@ -81,6 +81,18 @@ def test_cc_property(spark, pairs):
     assert got == want
 
 
+def test_cc_compressed_ids_equal_string_path(spark):
+    """The hash-compressed loop (8-byte shuffle keys) must produce exactly
+    the string-path assignments, including the min-string labels."""
+    rng = random.Random(17)
+    nodes = [f"Type|entity {i:03d}" for i in range(80)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    fast = {(r.node, r.component) for r in connected_components(edf, compress_ids=True).collect()}
+    slow = {(r.node, r.component) for r in connected_components(edf, compress_ids=False).collect()}
+    assert fast == slow
+
+
 def test_cc_long_chain_converges_fast(spark):
     # a 64-node path: alternating star rounds must converge in O(log n)
     edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(63)]
