@@ -86,11 +86,15 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
     # operator-level headliners over driver testdata
     headliners = [
         "kg_extract_triples",
+        "kg_entity_attrs",
+        "kg_relation_tags",
         "term_graph",
         "minhash_sigs",
         "simhash",
         "ngram_jaccard",
         "knn_batch",
+        "label_centroids",
+        "dim_join",
         "entity_fold",
         "relation_group",
         "text_quality",

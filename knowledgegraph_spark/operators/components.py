@@ -84,6 +84,7 @@ def connected_components(
     max_iter: int = 50,
     checkpointer=None,
     compress_ids: bool = True,
+    min_compress_nodes: int = 1_000_000,
 ) -> DataFrame:
     """edges(src, dst) → assignments(node, component).
 
@@ -103,6 +104,12 @@ def connected_components(
     aggregation); on any collision the loop falls back to string ids, so
     correctness never depends on hash luck.  Labels are restored to the
     exact min-string contract by one relabel join at the end.
+
+    ``min_compress_nodes``: compression costs ~6 extra jobs (mapping
+    build/check, two edge joins, two restore joins); below this node
+    count the per-round byte savings cannot repay them, so the loop
+    stays on strings.  The node count comes from the injectivity check,
+    so the decision is free.
     """
     if checkpointer is None:
         def checkpointer(df: DataFrame) -> DataFrame:
@@ -127,9 +134,9 @@ def connected_components(
         stats = mapping.agg(
             F.count("*").alias("n"), F.countDistinct("nid").alias("d")
         ).collect()[0]
-        if int(stats["n"]) != int(stats["d"]):
+        if int(stats["n"]) != int(stats["d"]) or int(stats["n"]) < min_compress_nodes:
             mapping.unpersist()
-            mapping = None  # collision: fall back to string ids
+            mapping = None  # collision or too small to repay the mapping joins
         else:
             ms = mapping.select(F.col("node").alias("src"), F.col("nid").alias("s_id"))
             md = mapping.select(F.col("node").alias("dst"), F.col("nid").alias("d_id"))

@@ -44,7 +44,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEMORY", "16g"))
+        # 32g: per-stage profiling (BENCH/BASELINE.md, 2M pages) showed the
+        # 16g default GC-bound — raising it cut stage walls 35-41% at BOTH
+        # parallelism levels and lifted 2→8-core scaling efficiency from
+        # 0.73 to 0.81.  On a real cluster this is per-executor memory.
+        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )

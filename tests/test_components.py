@@ -88,7 +88,12 @@ def test_cc_compressed_ids_equal_string_path(spark):
     nodes = [f"Type|entity {i:03d}" for i in range(80)]
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
     edf = spark.createDataFrame(edges, "src string, dst string")
-    fast = {(r.node, r.component) for r in connected_components(edf, compress_ids=True).collect()}
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(
+            edf, compress_ids=True, min_compress_nodes=1
+        ).collect()
+    }
     slow = {(r.node, r.component) for r in connected_components(edf, compress_ids=False).collect()}
     assert fast == slow
 
