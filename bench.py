@@ -68,6 +68,11 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
 
+    # Host co-tenant load poisoned the round-2 artifact (89.3s kg_pipeline
+    # at loadavg ~10 vs 39.3s at ~0.1, identical code+input): record the
+    # load so every recorded JSON explains its own conditions.
+    load_start = os.getloadavg()
+
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf = float(sf_label)
@@ -116,6 +121,8 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
         "n_raw_triples": n_raw,
         "n_entities": n_entities,
         "cpus": cpus,
+        "host_load_1m_start": round(load_start[0], 2),
+        "host_load_1m_end": round(os.getloadavg()[0], 2),
     }
     spark.stop()
     return out

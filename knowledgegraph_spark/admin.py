@@ -32,17 +32,20 @@ def init(cat: Catalog) -> None:
 
 
 def status(cat: Catalog) -> dict:
-    """Row counts + on-disk bytes per table (kuzu_init.py status verb)."""
+    """Row counts + on-disk bytes + file counts per table
+    (kuzu_init.py status verb).  ``files`` makes append-only log growth
+    visible — the signal that ``compact_ledger`` is due."""
     out = {}
     for t in CORE_TABLES:
         if cat.exists(t):
             path = cat.path(t)
-            size = sum(
-                os.path.getsize(os.path.join(dp, f))
-                for dp, _, fs in os.walk(path)
-                for f in fs
-            )
-            out[t] = {"rows": cat.read(t).count(), "bytes": size}
+            size = n_files = 0
+            for dp, _, fs in os.walk(path):
+                for f in fs:
+                    size += os.path.getsize(os.path.join(dp, f))
+                    if f.endswith(".parquet"):
+                        n_files += 1
+            out[t] = {"rows": cat.read(t).count(), "bytes": size, "files": n_files}
         else:
             out[t] = None
     return out
@@ -72,6 +75,56 @@ def reset_failed(cat: Catalog) -> int:
             cat.write(led.filter(F.col("status") != "failed"), "checkpoint_ledger")
     cat.drop("failed_pages")
     return n
+
+
+def compact_ledger(cat: Catalog) -> dict:
+    """Rewrite the append-only checkpoint ledger to ONE row per url.
+
+    The ledger grows a parquet file per batch forever; at 10^9 urls the
+    resume anti-join would scan every generation.  Compaction keeps the
+    latest row per url (max by (processed_at, session_id, status) —
+    deterministic; a url's 'failed' marker survives until reset_failed
+    clears it), written as a single bucketed generation via the atomic
+    table swap.  Returns before/after row and file counts.
+    """
+    if not cat.exists("checkpoint_ledger"):
+        return {"rows_before": 0, "rows_after": 0, "files_before": 0, "files_after": 0}
+
+    def _n_files() -> int:
+        return sum(
+            1
+            for dp, _, fs in os.walk(cat.path("checkpoint_ledger"))
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    led = cat.read("checkpoint_ledger")
+    rows_before, files_before = led.count(), _n_files()
+    latest = (
+        led.groupBy("url")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("processed_at").alias("t"),
+                    F.col("session_id").alias("s"),
+                    F.col("status").alias("st"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "url",
+            F.col("m.s").alias("session_id"),
+            F.col("m.st").alias("status"),
+            F.col("m.t").alias("processed_at"),
+        )
+    )
+    cat.write(latest, "checkpoint_ledger")
+    return {
+        "rows_before": rows_before,
+        "rows_after": cat.read("checkpoint_ledger").count(),
+        "files_before": files_before,
+        "files_after": _n_files(),
+    }
 
 
 def clean(cat: Catalog, include_stages: bool = True) -> None:

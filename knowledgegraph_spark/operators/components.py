@@ -176,6 +176,13 @@ def connected_components(
             named.join(relabel, "component")
             .select("node", F.col("label").alias("component"))
         )
+        # Materialize the relabeled output so the O(nodes) cached mapping
+        # can be released NOW — otherwise it pins executor storage for the
+        # application lifetime, accumulating across pipeline runs in one
+        # session.  This path only triggers at ≥ min_compress_nodes, where
+        # one extra pass over (node, component) is noise next to the leak.
+        out = out.localCheckpoint(eager=True)
+        mapping.unpersist()
     return out
 
 

@@ -70,7 +70,7 @@ def _simple(name: str, typ: str, **attrs) -> dict:
 
 
 def _pattern_table():
-    """(regex, handler, relation_tag) rows.
+    """(regex, handler, relation_tag, literal) rows.
 
     ``relation_tag`` is the per-pattern provenance tag folded into the
     edge's ``relationTags`` array (reference merges relationTag STRING[]
@@ -79,6 +79,15 @@ def _pattern_table():
     reference's entity-record parse extracts (entity_extractor.py:181-236,
     field specs entity_config.yaml:18-491): role, worksAt, title, status,
     location, labels.
+
+    ``literal`` is a substring every line matching the pattern must
+    contain — the cheap dispatch run before the anchored regex.  A C-level
+    ``in`` check (~100 ns) replaces a failed regex attempt (~1 µs), so a
+    line that matches nothing (most web text) costs len(table) substring
+    scans instead of len(table) regex engine invocations.  Guards are
+    NECESSARY conditions only; the regex remains the sole decider, so
+    first-match-wins semantics are bit-identical to the unguarded cascade
+    (tests/test_extraction.py golden parity).
     """
     def works_at(m):
         p, o = _person(m.group(1)), _org(m.group(2))
@@ -159,30 +168,33 @@ def _pattern_table():
             re.compile(rf"^({_P}) works at ({_ORG}) as a ({_ROLE})\.$"),
             works_at_role,
             "works_at:role",
+            " works at ",
         ),
-        (re.compile(rf"^({_P}) works at ({_ORG})\.$"), works_at, "works_at"),
-        (re.compile(rf"^({_P}) works on Project ([A-Z][a-z]+)\.$"), works_on, "works_on"),
-        (re.compile(rf"^({_P}) is a member of the ([A-Z][a-z]+) team\.$"), member_of, "member_of"),
-        (re.compile(rf"^({_P}) manages the ([A-Z][a-z]+) team\.$"), manages, "manages"),
-        (re.compile(rf"^({_P}) authored ({_PR})\.$"), authored, "authored"),
-        (re.compile(rf"^({_P}) reviewed ({_PR})\.$"), reviewed, "reviewed"),
-        (re.compile(rf"^({_PR}) belongs to ({_REPO})\.$"), pr_belongs, "belongs_to:repo"),
-        (re.compile(rf"^({_ISSUE}) is assigned to ({_P})\.$"), assigned, "assigned_to"),
+        (re.compile(rf"^({_P}) works at ({_ORG})\.$"), works_at, "works_at", " works at "),
+        (re.compile(rf"^({_P}) works on Project ([A-Z][a-z]+)\.$"), works_on, "works_on", " works on Project "),
+        (re.compile(rf"^({_P}) is a member of the ([A-Z][a-z]+) team\.$"), member_of, "member_of", " is a member of the "),
+        (re.compile(rf"^({_P}) manages the ([A-Z][a-z]+) team\.$"), manages, "manages", " manages the "),
+        (re.compile(rf"^({_P}) authored ({_PR})\.$"), authored, "authored", " authored Pull Request "),
+        (re.compile(rf"^({_P}) reviewed ({_PR})\.$"), reviewed, "reviewed", " reviewed Pull Request "),
+        (re.compile(rf"^({_PR}) belongs to ({_REPO})\.$"), pr_belongs, "belongs_to:repo", " belongs to "),
+        (re.compile(rf"^({_ISSUE}) is assigned to ({_P})\.$"), assigned, "assigned_to", " is assigned to "),
         (
             re.compile(rf"^({_PR}) merges branch ({_BRANCH}) into branch ({_BRANCH})\.$"),
             merges,
             "merges",
+            " merges branch ",
         ),
-        (re.compile(rf"^({_P}) created the repository ({_REPO})\.$"), created_repo, "created:repo"),
-        (re.compile(rf'^({_P}) created the "([^"]+)" event\.$'), created_event, "created:event"),
-        (re.compile(rf'^({_ISSUE}) belongs to the topic "([^"]+)"\.$'), issue_topic, "belongs_to:topic"),
-        (re.compile(rf'^({_P}) holds the title "([^"]+)"\.$'), holds_title, None),
-        (re.compile(rf"^({_P}) is based in ([A-Z][a-z]+)\.$"), based_in, None),
-        (re.compile(rf"^({_ISSUE}) has status ([A-Z][a-z]+)\.$"), issue_status, None),
+        (re.compile(rf"^({_P}) created the repository ({_REPO})\.$"), created_repo, "created:repo", " created the repository "),
+        (re.compile(rf'^({_P}) created the "([^"]+)" event\.$'), created_event, "created:event", ' created the "'),
+        (re.compile(rf'^({_ISSUE}) belongs to the topic "([^"]+)"\.$'), issue_topic, "belongs_to:topic", ' belongs to the topic "'),
+        (re.compile(rf'^({_P}) holds the title "([^"]+)"\.$'), holds_title, None, ' holds the title "'),
+        (re.compile(rf"^({_P}) is based in ([A-Z][a-z]+)\.$"), based_in, None, " is based in "),
+        (re.compile(rf"^({_ISSUE}) has status ([A-Z][a-z]+)\.$"), issue_status, None, " has status "),
         (
             re.compile(rf'^({_PR}) is labeled "([a-z-]+)" and "([a-z-]+)"\.$'),
             pr_labels,
             None,
+            ' is labeled "',
         ),
     ]
 
@@ -255,7 +267,9 @@ def extract_page_py(url, warc_ts, text: str, max_text_bytes: int = MAX_TEXT_BYTE
         line = line.strip()
         if not line:
             continue
-        for pat, handler, tag in _PATTERNS:
+        for pat, handler, tag, lit in _PATTERNS:
+            if lit not in line:  # cheap dispatch before the regex engine
+                continue
             m = pat.match(line)
             if m is None:
                 continue

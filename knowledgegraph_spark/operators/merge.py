@@ -114,12 +114,25 @@ def fold_entities(
     provenance (fixture-scale parity with the reference's append-unique
     semantics).
 
+    When BOTH ``provenance_cap`` and salting are active, the cap is
+    applied to the PARTIAL outputs too: each (component, salt) partial
+    ships only its ``cap`` smallest urls/descriptions into the final
+    shuffle.  This is exact — the global smallest-``cap`` elements are
+    each the smallest within their own salt group (smallest-k is a
+    semilattice merge) — and it bounds the partial→final shuffle to
+    O(n_salts·cap) per component instead of O(mentions).  ``n_sources``
+    stays exact: the salt is derived from ``url`` alone, so each distinct
+    url lands in exactly one salt group and the per-salt distinct counts
+    sum without overlap.
+
     ``n_salts``: head-entity skew guard (north_rule salted-key
     repartitioning).  The fold runs two-phase: partial aggregation on
     (component, salt) bounds any single task to ~1/n_salts of a head
     component's mentions, then a cheap final merge of the partials.  All
     merge functions are associative+commutative (min / set-union), so the
     result is bit-identical to the single-phase fold.  0 disables.
+    Callers that can see the data (plans.pipeline) pick this adaptively
+    via ``skew.pick_n_salts`` — 0 when no head keys exist.
     """
     m = with_node(mentions).join(assignments, "node")
     # attribute columns may be absent on minimal mention frames (older
@@ -140,14 +153,17 @@ def fold_entities(
 
     if n_salts and n_salts > 1:
         partial = m.withColumn(
-            "__salt", F.pmod(F.xxhash64("url", "ord"), F.lit(n_salts))
+            # salt by url ONLY: a url's mentions all land in one salt
+            # group, so per-salt distinct-url counts sum exactly (the
+            # provenance_cap path's exact n_sources depends on this)
+            "__salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
         ).groupBy("component", "__salt").agg(
             _fbo("name").alias("p_name"),
             F.first("type").alias("type"),
             F.collect_set("name").alias("p_names"),
             F.collect_set("email").alias("p_emails"),
             _fbo("domain").alias("p_dom"),
-            F.collect_set(src_url).alias("p_sources"),
+            F.sort_array(F.collect_set(src_url)).alias("p_sources"),
             F.min(order).alias("p_first"),
             # per-type attributes — every partial agg is a semilattice op
             # (min / max / set-union), so the two-phase fold is exact
@@ -158,8 +174,20 @@ def fold_entities(
             _fbo("title").alias("p_title"),
             F.max(F.when(F.col("status").isNotNull(),
                          F.struct(F.length("status").alias("l"), F.col("status").alias("v")))).alias("p_status"),
-            F.collect_set("description").alias("p_desc"),
+            F.sort_array(F.collect_set("description")).alias("p_desc"),
         )
+        extra_final_aggs = []
+        if provenance_cap is not None:
+            # cap the partial outputs: the shuffle into the final agg
+            # carries ≤ cap urls/descriptions per (component, salt), and
+            # the per-salt url counts (disjoint by construction) keep
+            # n_sources exact
+            partial = (
+                partial.withColumn("p_nsrc", F.size("p_sources"))
+                .withColumn("p_sources", F.slice("p_sources", 1, provenance_cap))
+                .withColumn("p_desc", F.slice("p_desc", 1, provenance_cap))
+            )
+            extra_final_aggs = [F.sum("p_nsrc").alias("n_sources_exact")]
         agg = partial.groupBy("component").agg(
             F.min("p_name")["v"].alias("name"),
             F.first("type").alias("type"),
@@ -175,6 +203,7 @@ def fold_entities(
             F.min("p_title")["v"].alias("title"),
             F.max("p_status")["v"].alias("status"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_desc")))).alias("rawDescriptions"),
+            *extra_final_aggs,
         )
     else:
         agg = m.groupBy("component").agg(
@@ -202,6 +231,10 @@ def fold_entities(
         sources = F.slice(F.col("sources"), 1, provenance_cap)
         # rawDescriptions grow like provenance at web scale — same cap
         raw_desc = F.slice(F.col("rawDescriptions"), 1, provenance_cap)
+        if "n_sources_exact" in agg.columns:
+            # salted path: partials were capped pre-shuffle; the exact
+            # total is the sum of the disjoint per-salt counts
+            n_sources = F.col("n_sources_exact").cast("int")
     return agg.select(
         "name",
         "type",
@@ -312,15 +345,27 @@ def resolve_and_fold_triples(
             "__salt", F.pmod(F.xxhash64("url"), F.lit(n_salts))
         ).groupBy(*keys, "__salt").agg(
             F.max("strength").alias("p_strength"),
-            F.collect_set("description").alias("p_desc"),
+            F.sort_array(F.collect_set("description")).alias("p_desc"),
             F.collect_set("relation_tag").alias("p_tags"),
-            F.collect_set("url").alias("p_src"),
+            F.sort_array(F.collect_set("url")).alias("p_src"),
         )
+        extra = []
+        if provenance_cap is not None:
+            # cap partial outputs pre-shuffle (exact: smallest-k union;
+            # see fold_entities).  url-derived salt keeps per-salt url
+            # counts disjoint, so n_sources stays the exact total.
+            partial = (
+                partial.withColumn("p_nsrc", F.size("p_src"))
+                .withColumn("p_src", F.slice("p_src", 1, provenance_cap))
+                .withColumn("p_desc", F.slice("p_desc", 1, provenance_cap))
+            )
+            extra = [F.sum("p_nsrc").alias("n_sources_exact")]
         grouped = partial.groupBy(*keys).agg(
             F.max("p_strength").alias("strength"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_desc")))).alias("descriptions"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_tags")))).alias("relationTags"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_src")))).alias("sources"),
+            *extra,
         )
     else:
         grouped = t.groupBy(*keys).agg(
@@ -330,9 +375,17 @@ def resolve_and_fold_triples(
             F.sort_array(F.collect_set("url")).alias("sources"),
         )
     if provenance_cap is not None:
-        grouped = grouped.withColumn(
-            "n_sources", F.size("sources")
-        ).withColumn("sources", F.slice(F.col("sources"), 1, provenance_cap))
+        n_src = (
+            F.col("n_sources_exact").cast("int")
+            if "n_sources_exact" in grouped.columns
+            else F.size("sources")
+        )
+        grouped = (
+            grouped.withColumn("n_sources", n_src)
+            .withColumn("sources", F.slice(F.col("sources"), 1, provenance_cap))
+            .withColumn("descriptions", F.slice(F.col("descriptions"), 1, provenance_cap))
+            .drop("n_sources_exact")
+        )
     return grouped.withColumn(
         "relation_id",
         F.sha2(F.concat_ws("::", F.col("subj"), F.col("pred"), F.col("obj")), 256),

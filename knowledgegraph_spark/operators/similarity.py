@@ -116,29 +116,48 @@ def hyperplane_signatures(
     return vectors.select(F.col(id_col), F.concat(*bits).alias("bucket"), F.col(vec_col))
 
 
+def probe_buckets(query_vec: list[float], planes: list[list[float]], probes: int) -> list[str]:
+    """The ``probes`` most promising sign buckets for a query vector.
+
+    Multi-probe LSH (Lv et al., VLDB'07, public): the query's own bucket
+    first, then Hamming-1 neighbors ordered by |margin| of the flipped
+    plane ascending — the plane the query sits closest to is the one most
+    likely to have split true neighbors into the adjacent bucket.
+    Driver-side arithmetic over literals; no Spark job.
+    """
+    margins = [sum(q * p for q, p in zip(query_vec, plane)) for plane in planes]
+    qbits = ["1" if m >= 0 else "0" for m in margins]
+    buckets = ["".join(qbits)]
+    for i in sorted(range(len(planes)), key=lambda i: abs(margins[i])):
+        flipped = list(qbits)
+        flipped[i] = "0" if qbits[i] == "1" else "1"
+        buckets.append("".join(flipped))
+    return buckets[:probes]
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     query_vec: list[float],
     planes: list[list[float]],
     k: int = 10,
+    probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k: score only the query's LSH bucket.
+    """ANN top-k: score only the query's LSH bucket(s).
 
-    Recall < 1 by construction (bucket boundary misses); multi-probe =
-    union over neighboring buckets if needed.  At 10^9+ vectors this turns
-    a full-scan top-k into a bucket-sized scan; bucket skew is bounded by
-    the number of planes.
+    ``probes`` = number of sign buckets scanned (1 = exact-bucket only;
+    each extra probe adds the next-nearest Hamming-1 bucket, recovering
+    neighbors the closest boundary split away — the recall knob the
+    reference exposes as HNSW efs, query_search.py:69-79).  The bucket
+    filter is a literal IN over ≤ probes values, so the scan stays
+    bucket-pruned: cost ∝ sum of probed bucket sizes, not corpus size.
     """
     sigs = hyperplane_signatures(vectors, planes, id_col, vec_col)
-    qbits = "".join(
-        "1" if sum(q * p for q, p in zip(query_vec, plane)) >= 0 else "0"
-        for plane in planes
-    )
+    buckets = probe_buckets(query_vec, planes, probes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        sigs.filter(F.col("bucket") == qbits)
+        sigs.filter(F.col("bucket").isin(buckets))
         .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
         .orderBy(F.desc("cosine_sim"), F.col(id_col))
         .limit(k)

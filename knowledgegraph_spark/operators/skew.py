@@ -30,6 +30,43 @@ def head_keys(df: DataFrame, key_cols: Sequence[str], min_count: int) -> DataFra
     )
 
 
+def pick_n_salts(
+    df: DataFrame,
+    key_cols: Sequence,
+    sample_frac: float = 1.0,
+    target_rows_per_task: int = 50_000,
+    min_rows_to_salt: int = 200_000,
+    max_salts: int = 64,
+    seed: int = 42,
+) -> int:
+    """Adaptive salt count from an (optionally sampled) head-key probe.
+
+    Estimates the max rows-per-key from a seeded sample and returns the
+    power-of-two salt count that bounds any single reducer task to
+    ``target_rows_per_task`` rows of the head key — or 0 when no key is
+    estimated above ``min_rows_to_salt`` (no head keys ⇒ the two-phase
+    fold is pure overhead and the caller should run single-phase).
+
+    Deterministic (seeded sample), one small aggregation job; callers run
+    it over an already-materialized stage so the probe costs ~a narrow
+    scan, not a recompute.  ``key_cols`` accepts names or Columns.
+    """
+    import math
+
+    s = df.sample(fraction=sample_frac, seed=seed) if sample_frac < 1.0 else df
+    row = (
+        s.groupBy(*key_cols)
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .collect()[0]
+    )
+    mx = int(row["mx"] or 0)
+    est = mx / sample_frac if sample_frac > 0 else mx
+    if est < min_rows_to_salt:
+        return 0
+    return int(min(max_salts, 2 ** math.ceil(math.log2(max(est / target_rows_per_task, 2.0)))))
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: Sequence[str],

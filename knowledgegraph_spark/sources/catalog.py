@@ -20,6 +20,7 @@ On Iceberg, ``upsert`` becomes a single ``MERGE INTO`` SQL statement and
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -48,6 +49,31 @@ class Catalog:
                     shutil.rmtree(p, ignore_errors=True)
                 else:
                     os.rename(p, live)
+            elif os.path.isdir(p):
+                # Partition-level sweep: replace_partitions renames each
+                # replaced partition dir to a sibling ``<part>.old-<gen>``
+                # before swapping the new one in.  A crash between the two
+                # renames leaves the .old as the ONLY copy of that
+                # partition — restore it; if the live partition exists the
+                # .old is garbage from the post-swap window — drop it.
+                for e in sorted(os.listdir(p)):
+                    ep = os.path.join(p, e)
+                    if ".tmp-" in e:  # orphaned meta tmp file
+                        (shutil.rmtree if os.path.isdir(ep) else os.remove)(ep)
+                        continue
+                    if ".old-" not in e:
+                        continue
+                    live_p = os.path.join(p, e.split(".old-")[0])
+                    if os.path.isdir(live_p):
+                        shutil.rmtree(ep, ignore_errors=True)
+                    else:
+                        os.rename(ep, live_p)
+        # Commit manifests (replace_partitions audit records): once the
+        # .tmp/.old sweeps above ran, the table state is healed — any
+        # leftover manifest is from a crashed commit and can be retired.
+        for d in sorted(os.listdir(warehouse)):
+            if ".commit-" in d and d.endswith(".json"):
+                os.remove(os.path.join(warehouse, d))
 
     def path(self, table: str) -> str:
         return os.path.join(self.warehouse, table)
@@ -93,26 +119,47 @@ class Catalog:
 
         ``df`` must hold the COMPLETE new content of those partitions.
         The new data is staged to a tmp dir first, then each touched
-        partition dir is swapped in with a directory rename; partitions
-        not listed are never touched, so an incremental batch costs
-        O(touched partitions), not O(table).  A touched partition with
-        no surviving rows is deleted (dynamic partition overwrite cannot
-        express that case).  A crash mid-swap leaves some partitions
-        updated and some not — callers order the ledger commit last, so
-        a rerun re-applies the same idempotent merge and heals the table.
+        partition dir is swapped in; partitions not listed are never
+        touched, so an incremental batch costs O(touched partitions),
+        not O(table).  A touched partition with no surviving rows is
+        deleted (dynamic partition overwrite cannot express that case).
+
+        Crash safety: a commit manifest (bucket list + generation id) is
+        written before the swap loop, and each partition is swapped via
+        rename-aside (dst → ``dst.old-<gen>``; src → dst; drop .old) —
+        never rmtree-then-rename, so no crash window deletes the only
+        copy of previously committed rows.  ``Catalog.__init__`` heals
+        any interrupted state from the .old/.tmp markers (restore an
+        .old whose live partition is missing; drop the rest), after
+        which a rerun re-applies the same idempotent merge — the ledger
+        commits last, so the batch is re-processed, not lost.
         """
         final = self.path(table)
-        tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
+        gen = uuid.uuid4().hex[:8]
+        tmp = f"{final}.tmp-{gen}"
         df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        manifest = os.path.join(self.warehouse, f"{table}.commit-{gen}.json")
+        with open(manifest, "w") as f:
+            json.dump(
+                {"table": table, "partition_col": partition_col,
+                 "values": [str(v) for v in values], "gen": gen},
+                f,
+            )
         try:
             for v in values:
                 dst = os.path.join(final, f"{partition_col}={v}")
                 src = os.path.join(tmp, f"{partition_col}={v}")
-                shutil.rmtree(dst, ignore_errors=True)
+                old = f"{dst}.old-{gen}"
+                if os.path.isdir(dst):
+                    os.rename(dst, old)
                 if os.path.isdir(src):
                     os.rename(src, dst)
+                if os.path.isdir(old):
+                    shutil.rmtree(old, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+            if os.path.exists(manifest):
+                os.remove(manifest)
 
     def append(self, df: DataFrame, table: str) -> None:
         """Append-only commit for log-style tables (metrics, ledgers).
@@ -134,6 +181,27 @@ class Catalog:
         else:
             merged = merge_fn(None, incoming) if _accepts_none(merge_fn) else incoming
         self.write(merged, table)
+
+    def put_meta(self, table: str, meta: dict) -> None:
+        """Persist table-level metadata (bucket layout, partition col) as a
+        ``_kg_meta.json`` file inside the table dir — Spark readers ignore
+        ``_``-prefixed files.  Written AFTER the table write (a full
+        ``write`` swaps the directory and discards any previous meta, so
+        callers re-put on every full rewrite; ``replace_partitions`` only
+        touches partition subdirs and leaves the meta in place)."""
+        p = self.path(table)
+        os.makedirs(p, exist_ok=True)
+        tmp = os.path.join(p, f"_kg_meta.tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(p, "_kg_meta.json"))
+
+    def get_meta(self, table: str) -> dict | None:
+        p = os.path.join(self.path(table), "_kg_meta.json")
+        if not os.path.isfile(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def drop(self, table: str) -> None:
         shutil.rmtree(self.path(table), ignore_errors=True)

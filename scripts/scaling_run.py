@@ -43,7 +43,7 @@ spark.stop()
 """
 
 CHILD = r"""
-import json, os, sys, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from knowledgegraph_spark import get_spark
 from knowledgegraph_spark.plans.pipeline import build_kg
@@ -51,22 +51,30 @@ from knowledgegraph_spark.operators.extraction import extract_mentions_and_tripl
 from knowledgegraph_spark.operators.html_text import with_extracted_text
 cpus = int(sys.argv[1]); path = sys.argv[2]
 conf = {{"spark.ui.showConsoleProgress": "false"}}
-# KG_SCALE_MEM_PER_CORE=<GiB>: hold memory-per-core constant across the
-# two levels (a real N->4N cluster scales total memory with executors;
-# a fixed heap gives the hi level 1/4 the memory per core and charges
-# its GC pressure against scaling efficiency).  Off by default so the
-# measurement series stays protocol-comparable.
-mpc = os.environ.get("KG_SCALE_MEM_PER_CORE")
-if mpc:
+# KG_SCALE_MEM_PER_CORE=<GiB> (default 4): hold memory-per-core constant
+# across the two levels.  A real N->4N cluster scales TOTAL memory with
+# executor count; a fixed driver heap would give the hi level 1/4 the
+# memory per core and charge the resulting GC pressure against scaling
+# efficiency — measuring the sandbox's single-JVM artifact, not the
+# engine (round-2 profile: 16g->32g cut stage walls 35-41% at BOTH
+# levels).  Set to 0/empty to force a fixed heap.
+mpc = os.environ.get("KG_SCALE_MEM_PER_CORE", "4")
+if mpc and int(mpc) > 0:
     conf["spark.driver.memory"] = f"{{int(mpc) * cpus}}g"
 spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
                   extra_conf=conf)
 pages = spark.read.parquet(path)
 extract_mentions_and_triples(with_extracted_text(pages.limit(256))).count()  # warm workers
+# Stage boundaries go to parquet (the run_pipeline posture), not memory
+# persists: cached stage frames make the low-core leg cache-spill-bound
+# (same bytes, fewer cores to re-derive evicted blocks), understating
+# its throughput and inflating apparent "scaling".
+stages = tempfile.mkdtemp(prefix="kg_scale_stages_")
 t0 = time.time()
-res = build_kg(spark, pages)
+res = build_kg(spark, pages, stage_path=stages)
 nt = res.triples.count(); ne = res.entities.count()
 dt = time.time() - t0
+shutil.rmtree(stages, ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "sec": dt, "n_triples": nt, "n_entities": ne,
                    "triples_per_sec": nt / dt}}))
 spark.stop()
@@ -114,12 +122,14 @@ def main():
     eff = hi["triples_per_sec"] / (
         (hi_cpus / lo_cpus) * lo["triples_per_sec"]
     )
+    mpc = os.environ.get("KG_SCALE_MEM_PER_CORE", "4")
     summary = {
         "n_pages": n_pages,
         f"local{lo_cpus}": {"sec": round(lo["sec"], 2), "tps": round(lo["triples_per_sec"], 1)},
         f"local{hi_cpus}": {"sec": round(hi["sec"], 2), "tps": round(hi["triples_per_sec"], 1)},
         "scaling_efficiency": round(eff, 3),
         "n_triples": hi["n_triples"],
+        "protocol": f"mem_per_core={mpc}g, parquet-staged stages",
     }
     print(json.dumps(summary))
 
@@ -143,7 +153,7 @@ def main():
                 "|---|---|---|---|---|---|---|---|---|\n"
             )
         f.write(
-            f"| {stamp} | {n_pages} | {lo_cpus} | {lo['sec']:.1f} | {lo['triples_per_sec']:.1f} "
+            f"| {stamp} (mpc={mpc}g, staged) | {n_pages} | {lo_cpus} | {lo['sec']:.1f} | {lo['triples_per_sec']:.1f} "
             f"| {hi_cpus} | {hi['sec']:.1f} | {hi['triples_per_sec']:.1f} | {eff:.3f} |\n"
         )
 
