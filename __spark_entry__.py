@@ -122,9 +122,17 @@ def _alpha_toks(text_col):
 
 def _attr_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribute-bearing synthetic sentences: a Person title line (PRESERVE
-    fold) and an Issue status line (IF-BETTER fold) per document."""
+    fold) and an Issue status line (IF-BETTER fold) per document.
+
+    The token guard is applied BEFORE the projection: after the select,
+    'text' would re-resolve against the synthetic text (always ≥ 4 alpha
+    tokens), making the guard a no-op and leaving toks[3] to throw
+    INVALID_ARRAY_INDEX on a short source document under ANSI mode."""
     d = _docs(spark, sf_dir)
-    toks = _alpha_toks(F.col("text"))
+    d = d.withColumn("__toks", _alpha_toks(F.col("text"))).filter(
+        F.size("__toks") >= 4
+    )
+    toks = F.col("__toks")
     status = F.element_at(
         F.array(F.lit("Open"), F.lit("Blocked"), F.lit("Resolved"), F.lit("Triaged")),
         (F.col("doc_id") % 4 + 1).cast("int"),
@@ -142,7 +150,7 @@ def _attr_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" has status "), status, F.lit("."),
         ).alias("text"),
         F.lit("en").alias("lang"),
-    ).filter(F.size(toks) >= 4)
+    )
 
 
 def q_kg_entity_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,9 +187,13 @@ def q_kg_entity_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _tag_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two works-at variants per document (plain + role-bearing) so the
-    same relation folds both pattern tags into relationTags."""
+    same relation folds both pattern tags into relationTags.  Token guard
+    applied on the SOURCE frame (see _attr_pages)."""
     d = _docs(spark, sf_dir)
-    toks = _alpha_toks(F.col("text"))
+    d = d.withColumn("__toks", _alpha_toks(F.col("text"))).filter(
+        F.size("__toks") >= 3
+    )
+    toks = F.col("__toks")
     base = F.concat(
         F.initcap(toks[0]), F.lit(" "), F.initcap(toks[1]),
         F.lit(" works at "), F.initcap(toks[2]), F.lit(" Corp"),
@@ -200,7 +212,7 @@ def _tag_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("Synthetic notes\n\n"), base, F.lit("."))
         ).alias("text"),
         F.lit("en").alias("lang"),
-    ).filter(F.size(toks) >= 3)
+    )
 
 
 def q_kg_relation_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,10 +317,13 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard WITH the shingle-DF skew guard engaged (the 100-TB
+    posture: head shingles are dropped before the self-join, bounding its
+    fan-out); the oracle mirrors the cap as a HAVING clause."""
     from knowledgegraph_spark.operators.dedup import ngram_jaccard_pairs
 
     sub = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
-    p = ngram_jaccard_pairs(sub, threshold=0.01, max_shingle_df=None)
+    p = ngram_jaccard_pairs(sub, threshold=0.01, max_shingle_df=2)
     return p.select(
         "id_a", "id_b", "inter", "sz_a", "sz_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -427,6 +442,51 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.4)
         .select("id_a", "id_b", F.round("sim", 4).alias("sim"))
     )
+
+
+def _nd_planes(n_planes: int = 4, dim: int = 64) -> list[list[float]]:
+    """Deterministic integer-valued hyperplanes shared bit-for-bit by the
+    Spark plan and the DuckDB oracle (values in {-1,0,1}: products with
+    float32-promoted inputs are exact, so the sign decision is identical
+    in both engines)."""
+    return [
+        [float(((7 * i + 3 * j + i * j + 1) % 3) - 1) for j in range(dim)]
+        for i in range(n_planes)
+    ]
+
+
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the LSH sign-bucket self-join — the
+    100-TB plan (pairs generated within buckets, not all-pairs; the exact
+    crossJoin form `near_dup_pairs` is its recall reference).  The
+    hyperplanes are literals, so the DuckDB oracle reproduces the buckets
+    and the verdict is hash-checked end to end."""
+    from knowledgegraph_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = _emb(spark, sf_dir).withColumn("v", F.col("embedding").cast("array<double>"))
+    p = embedding_near_dup_pairs(
+        e.select("vec_id", "v"), _nd_planes(), threshold=0.4, vec_col="v"
+    )
+    return p.select("id_a", "id_b", F.round("cosine_sim", 4).alias("sim"))
+
+
+def _near_dup_lsh_oracle_sql() -> str:
+    planes = _nd_planes()
+    bits = " || ".join(
+        "(CASE WHEN list_inner_product(embedding::DOUBLE[], ["
+        + ",".join(str(int(x)) for x in p)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
         "near_dup_pairs": q_near_dup_pairs,
+        "near_dup_lsh": q_near_dup_lsh,
         "label_centroids": q_label_centroids,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -943,10 +1004,14 @@ WITH sub AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
 toks AS (
   SELECT doc_id, list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS l
   FROM sub
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT t.doc_id AS id, array_to_string(t.l[r.i+1:r.i+3], ' ') AS shingle
   FROM toks t JOIN range(0, 100000) r(i) ON r.i <= len(t.l) - 3
-), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+), kept AS (
+  -- the max_shingle_df=2 skew guard: head shingles never reach the join
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 2
+), sh AS (SELECT sh0.* FROM sh0 JOIN kept USING (shingle)),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -1021,6 +1086,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
+        "near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "label_centroids": """
 SELECT label, r.i AS dim, round(avg(embedding[r.i + 1]), 4) + 0.0 AS mean_val
 FROM embeddings JOIN range(0, 100000) r(i) ON r.i <= len(embedding) - 1

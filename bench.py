@@ -98,6 +98,7 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
         "simhash",
         "ngram_jaccard",
         "knn_batch",
+        "near_dup_lsh",
         "label_centroids",
         "dim_join",
         "entity_fold",
