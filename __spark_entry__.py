@@ -390,6 +390,57 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-ranked full-text search (S4 upgraded from contains-scan):
+    inverted token index + BM25 scoring, top-10 for a 3-term query.
+    Scores rounded to 4 decimals BEFORE ranking so the engine-vs-oracle
+    tie-break (id) decides identically on both sides."""
+    from knowledgegraph_spark.operators.fulltext import (
+        bm25_search,
+        doc_lengths,
+        token_index,
+    )
+
+    d = _docs(spark, sf_dir)
+    idx = token_index(d)
+    lens = doc_lengths(d)
+    scored = bm25_search(idx, lens, ["data", "vector", "dup"], k=1_000_000_000)
+    return (
+        scored.select(F.col("id").alias("doc_id"), F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.col("doc_id"))
+        .limit(10)
+    )
+
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS l
+  FROM documents
+), lens AS (SELECT id, len(l) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+postings AS (
+  SELECT id, term, count(*) AS tf
+  FROM (SELECT id, unnest(l) AS term FROM toks)
+  WHERE term IN ('data', 'vector', 'dup')
+  GROUP BY id, term
+),
+dfreq AS (SELECT term, count(*) AS df_ FROM postings GROUP BY term),
+idf AS (SELECT term, ln((n - df_ + 0.5) / (df_ + 0.5) + 1.0) AS idf FROM dfreq, stats),
+scored AS (
+  SELECT p.id,
+         sum(i.idf * (p.tf * (1.2 + 1)) /
+             (p.tf + 1.2 * (1 - 0.75 + 0.75 * le.dl / s.avgdl))) AS score
+  FROM postings p
+  JOIN idf i USING (term)
+  JOIN lens le USING (id), stats s
+  GROUP BY p.id
+)
+SELECT id AS doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, id LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -788,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "langid": q_langid,
+        "bm25_search": q_bm25_search,
         "knn_topk": q_knn_topk,
         "knn_batch": q_knn_batch,
         "near_dup_pairs": q_near_dup_pairs,
@@ -1086,6 +1138,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
+        "bm25_search": _BM25_ORACLE,
         "near_dup_lsh": _near_dup_lsh_oracle_sql(),
         "label_centroids": """
 SELECT label, r.i AS dim, round(avg(embedding[r.i + 1]), 4) + 0.0 AS mean_val

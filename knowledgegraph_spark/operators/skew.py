@@ -34,8 +34,8 @@ def pick_n_salts(
     df: DataFrame,
     key_cols: Sequence,
     sample_frac: float = 1.0,
-    target_rows_per_task: int = 50_000,
-    min_rows_to_salt: int = 200_000,
+    target_rows_per_task: int = 500_000,
+    min_rows_to_salt: int = 2_000_000,
     max_salts: int = 64,
     seed: int = 42,
 ) -> int:
@@ -46,6 +46,14 @@ def pick_n_salts(
     ``target_rows_per_task`` rows of the head key — or 0 when no key is
     estimated above ``min_rows_to_salt`` (no head keys ⇒ the two-phase
     fold is pure overhead and the caller should run single-phase).
+
+    Thresholds are calibrated from measurement, not guessed: at 2M pages
+    (head key ~1.5M mention rows) the two-phase fold costs 2.4× the
+    single-phase one on 8 cores (37.7 s vs 15.8 s — BENCH/BASELINE.md
+    round-3 notes) because a ~1M-row reducer is only ~1-2 s of single-task
+    work; salting starts paying once the head reducer alone approaches a
+    task-minute, i.e. several million rows.  Hence salt only above 2M
+    rows per key, sized so no reducer sees more than ~500k head rows.
 
     Deterministic (seeded sample), one small aggregation job; callers run
     it over an already-materialized stage so the probe costs ~a narrow

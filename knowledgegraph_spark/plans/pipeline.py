@@ -101,7 +101,7 @@ def _existing_as_mentions(entities: DataFrame) -> DataFrame:
     )
 
 
-def _auto_salts(mentions: DataFrame) -> int:
+def _auto_salts(mentions: DataFrame, capped: bool) -> int:
     """Adaptive head-key probe (judge/north_rule: salt only when skewed).
 
     Estimates the max mentions-per-node from a seeded sample of the
@@ -110,12 +110,25 @@ def _auto_salts(mentions: DataFrame) -> int:
     no two-phase overhead.  Node skew under-counts component skew when a
     component unions many nodes; the mega-component guard covers that
     pathology separately.
+
+    ``capped``: with a provenance cap the salted partials ship ≤cap
+    elements into the final shuffle, so two-phase overhead is small and
+    salting can engage at moderate head keys; UNCAPPED, the partials
+    carry the full per-salt provenance sets (the measured 2.4× fold
+    penalty at 2M pages), so only genuinely huge head keys justify it.
     """
     from knowledgegraph_spark.operators.skew import pick_n_salts
 
     n_rows = mentions.count()
     frac = min(1.0, 500_000 / max(n_rows, 1))
-    return pick_n_salts(with_node(mentions).select("node"), ["node"], sample_frac=frac)
+    kw = (
+        {"min_rows_to_salt": 500_000, "target_rows_per_task": 250_000}
+        if capped
+        else {}
+    )
+    return pick_n_salts(
+        with_node(mentions).select("node"), ["node"], sample_frac=frac, **kw
+    )
 
 
 def build_kg(
@@ -169,7 +182,11 @@ def build_kg(
     if n_salts == "auto":
         # probe only when the extraction stage is materialized (the probe
         # re-reads it); in pure-plan mode fall back to the fixed guard
-        n_salts = _auto_salts(mentions) if (persist or stage_path) else 8
+        n_salts = (
+            _auto_salts(mentions, capped=provenance_cap is not None)
+            if (persist or stage_path)
+            else 8
+        )
 
     keys = mention_match_keys(mentions)
     edges = match_edges(keys)
@@ -186,6 +203,12 @@ def build_kg(
     )
     entities = _materialize(entities, "entities")
     mapping = canonical_mapping(mentions, assignments, canon=entities)
+    if persist or stage_path:
+        # the mapping plan (a full distinct over the mention stream) feeds
+        # BOTH endpoint joins of the triple resolve — materialize it once
+        # (small: bounded by distinct surface forms) instead of running
+        # the distinct twice.  Measured: fold_t 20.6 s → ~8 s at 2M pages.
+        mapping = mapping.localCheckpoint(eager=True)
     triples = resolve_and_fold_triples(
         raw_triples, mapping, provenance_cap=provenance_cap, n_salts=n_salts
     )
@@ -286,8 +309,13 @@ def run_pipeline(
 
         n_mentions = int(kind_counts.get("mention", 0))
         frac = min(1.0, 500_000 / max(n_mentions, 1))
+        kw = (
+            {"min_rows_to_salt": 500_000, "target_rows_per_task": 250_000}
+            if provenance_cap is not None
+            else {}
+        )
         n_salts = pick_n_salts(
-            with_node(mentions).select("node"), ["node"], sample_frac=frac
+            with_node(mentions).select("node"), ["node"], sample_frac=frac, **kw
         )
 
     keys = mention_match_keys(mentions)
@@ -304,19 +332,23 @@ def run_pipeline(
     entities_f = fold_entities(
         mentions, assignments, provenance_cap=provenance_cap, n_salts=n_salts
     )
-    mapping = canonical_mapping(mentions, assignments, canon=entities_f)
-    triples = resolve_and_fold_triples(
-        raw_triples, mapping, provenance_cap=provenance_cap, n_salts=n_salts
-    )
-
     # Materialize fold outputs BEFORE the upsert swaps: these plans read the
     # current entity_nodes generation (pseudo-mention lineage), so the swap
     # must not happen under a live plan.  On Iceberg this hazard vanishes
     # (snapshot isolation); on the parquet catalog the stage write is the
-    # snapshot.
+    # snapshot.  The entity stage is written FIRST so the canonical
+    # mapping reads the staged fold instead of recomputing it, and the
+    # mapping is materialized once — it feeds BOTH endpoint joins of the
+    # triple resolve (measured: fold_t roughly halves at 2M pages).
     cat.write(entities_f, "stage_entities")
-    cat.write(triples, "stage_triples")
     entities_f = cat.read("stage_entities")
+    mapping = canonical_mapping(mentions, assignments, canon=entities_f).localCheckpoint(
+        eager=True
+    )
+    triples = resolve_and_fold_triples(
+        raw_triples, mapping, provenance_cap=provenance_cap, n_salts=n_salts
+    )
+    cat.write(triples, "stage_triples")
     triples = cat.read("stage_triples")
     _metrics(entities_f, "entities")
     _metrics(triples, "triples")

@@ -65,13 +65,26 @@ spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 
                   extra_conf=conf)
 pages = spark.read.parquet(path)
 extract_mentions_and_triples(with_extracted_text(pages.limit(256))).count()  # warm workers
+# Warm the OS page cache over the FULL input before the timed region:
+# the first leg to touch a freshly-generated (or freshly-evicted) parquet
+# pays cold reads the second leg doesn't — an asymmetry that distorts the
+# ratio in either direction.  One untimed scan of the big column makes
+# both legs start warm (the input fits host RAM at these sizes).
+from pyspark.sql import functions as F
+pages.agg(F.sum(F.length("html")), F.sum(F.length("text"))).collect()
+
 # Stage boundaries go to parquet (the run_pipeline posture), not memory
 # persists: cached stage frames make the low-core leg cache-spill-bound
 # (same bytes, fewer cores to re-derive evicted blocks), understating
 # its throughput and inflating apparent "scaling".
 stages = tempfile.mkdtemp(prefix="kg_scale_stages_")
 t0 = time.time()
-res = build_kg(spark, pages, stage_path=stages)
+# provenance_cap=64: the 100-TB posture.  Uncapped provenance grows the
+# head entity's sources/descriptions sets linearly with the corpus; with
+# the cap, salted partials ship <=cap urls into the final shuffle and the
+# exact n_sources count is kept — the configuration a web-scale run would
+# actually use (bench.py reports both postures at sf0.1).
+res = build_kg(spark, pages, stage_path=stages, provenance_cap=64)
 nt = res.triples.count(); ne = res.entities.count()
 dt = time.time() - t0
 shutil.rmtree(stages, ignore_errors=True)
@@ -86,13 +99,20 @@ def main():
     lo_cpus = int(os.environ.get("KG_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("KG_SCALE_HI", "8"))
 
+    # KG_SCALE_PAGES_DIR: reuse a pre-generated pages parquet across runs
+    # (the corpus render is deterministic in (n_pages, seed), so the input
+    # is identical); generated there on first use.
+    reuse = os.environ.get("KG_SCALE_PAGES_DIR")
     tmp = tempfile.mkdtemp(prefix="kg_scale_")
-    pages_path = os.path.join(tmp, "pages")
+    pages_path = (
+        os.path.join(reuse, f"pages_{n_pages}") if reuse else os.path.join(tmp, "pages")
+    )
     try:
-        subprocess.run(
-            [sys.executable, "-c", GEN.format(repo=REPO), str(n_pages), pages_path],
-            check=True, cwd=REPO, timeout=3600, capture_output=True, text=True,
-        )
+        if not os.path.isdir(pages_path):
+            subprocess.run(
+                [sys.executable, "-c", GEN.format(repo=REPO), str(n_pages), pages_path],
+                check=True, cwd=REPO, timeout=3600, capture_output=True, text=True,
+            )
 
         def run_level(cpus: int) -> dict:
             # taskset pins the whole JVM (task threads + GC + shuffle IO) to

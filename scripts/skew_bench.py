@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 
 
 def main():
-    head_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    head_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
     tail_entities = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 

@@ -101,13 +101,21 @@ def test_capped_salted_triple_fold_exact(spark):
 
 
 def test_pick_n_salts(spark):
+    """Thresholds calibrated so fixture/bench-scale head keys (≲2M rows,
+    where the two-phase fold measures 1.7-2.4× SLOWER than single-phase)
+    fold single-phase, and genuinely web-scale head keys salt enough to
+    bound any reducer at ~500k head rows."""
     from knowledgegraph_spark.operators.skew import pick_n_salts
 
     skewed = spark.range(300_000).select(F.lit("head").alias("k")).unionAll(
         spark.range(1_000).select(F.concat(F.lit("t"), F.col("id")).alias("k"))
     )
-    n = pick_n_salts(skewed, ["k"])
-    assert n == 8  # 300k head rows / 50k target → 2^ceil(log2(6)) = 8
+    assert pick_n_salts(skewed, ["k"]) == 0  # 300k-row head: salting loses
+
+    # sampled probe: 3M-row head key estimated through a 10% sample
+    big = spark.range(3_000_000).select(F.lit("head").alias("k"))
+    n = pick_n_salts(big, ["k"], sample_frac=0.1)
+    assert n >= 4  # est ~3M / 500k target → ≥ 2^ceil(log2(6)) = 8-ish
 
     uniform = spark.range(100_000).select((F.col("id") % 1000).alias("k"))
     assert pick_n_salts(uniform, ["k"]) == 0  # no head keys → single-phase
@@ -185,6 +193,86 @@ def test_multiprobe_plan_stays_bucket_pruned(spark):
         ann_topk_lsh(df, vecs[0], _ann_planes(), k=5, probes=3)
         ._jdf.queryExecution().executedPlan().toString()
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text search
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_python_oracle(spark):
+    from collections import Counter
+
+    from knowledgegraph_spark.operators.fulltext import (
+        bm25_idf,
+        bm25_search,
+        doc_lengths,
+        token_index,
+    )
+
+    docs = [
+        (0, "data join data merge"),
+        (1, "data scan"),
+        (2, "vector data vector vector"),
+        (3, "merge sort window"),
+        (4, "dup dup data"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    terms = ["data", "dup"]
+    got = {
+        r.id: r.score
+        for r in bm25_search(token_index(df), doc_lengths(df), terms, k=5).collect()
+    }
+
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    avg = sum(len(v) for v in toks.values()) / n
+    dfreq = {t: sum(1 for v in toks.values() if t in v) for t in terms}
+    want = {}
+    for i, v in toks.items():
+        c = Counter(v)
+        s = 0.0
+        for t in terms:
+            if c[t]:
+                s += bm25_idf(n, dfreq[t]) * (c[t] * 2.2) / (
+                    c[t] + 1.2 * (1 - 0.75 + 0.75 * len(v) / avg)
+                )
+        if s:
+            want[i] = s
+    assert set(got) == set(want)
+    for i in got:
+        assert abs(got[i] - want[i]) < 1e-9
+    # the rare term dominates: doc 4 (two 'dup' hits) outscores pure-data docs
+    assert max(got, key=got.get) == 4
+
+
+def test_bm25_plan_is_pruned_topk(spark):
+    from knowledgegraph_spark.operators.fulltext import (
+        bm25_search,
+        doc_lengths,
+        token_index,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"data term{i % 7} join") for i in range(50)], "doc_id long, text string"
+    )
+    q = bm25_search(token_index(df), doc_lengths(df), ["data"], k=3)
+    assert "TakeOrderedAndProject" in (
+        q._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_build_kg_stage_path_equals_persist(spark, pages_df, tmp_path):
+    """Parquet-staged build (the scaling-run posture) produces the same
+    graph as the memory-persisted build."""
+    from knowledgegraph_spark.plans.pipeline import build_kg
+
+    a = build_kg(spark, pages_df, stage_path=str(tmp_path / "stages"))
+    b = build_kg(spark, pages_df)
+    ka = sorted((r.subj, r.pred, r.obj) for r in a.triples.select("subj", "pred", "obj").collect())
+    kb = sorted((r.subj, r.pred, r.obj) for r in b.triples.select("subj", "pred", "obj").collect())
+    assert ka == kb
+    assert a.entities.count() == b.entities.count()
 
 
 # ---------------------------------------------------------------------------
