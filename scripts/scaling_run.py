@@ -77,7 +77,15 @@ pages.agg(F.sum(F.length("html")), F.sum(F.length("text"))).collect()
 # persists: cached stage frames make the low-core leg cache-spill-bound
 # (same bytes, fewer cores to re-derive evicted blocks), understating
 # its throughput and inflating apparent "scaling".
+def _steal_s():
+    # hypervisor steal time (seconds, all vcpus): invisible to loadavg
+    # but it contends the pinned cores — record it so every measurement
+    # carries its own noise floor
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8]) / 100.0
+
 stages = tempfile.mkdtemp(prefix="kg_scale_stages_")
+steal0 = _steal_s()
 t0 = time.time()
 # provenance_cap=64: the 100-TB posture.  Uncapped provenance grows the
 # head entity's sources/descriptions sets linearly with the corpus; with
@@ -87,9 +95,10 @@ t0 = time.time()
 res = build_kg(spark, pages, stage_path=stages, provenance_cap=64)
 nt = res.triples.count(); ne = res.entities.count()
 dt = time.time() - t0
+steal = _steal_s() - steal0
 shutil.rmtree(stages, ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "sec": dt, "n_triples": nt, "n_entities": ne,
-                   "triples_per_sec": nt / dt}}))
+                   "triples_per_sec": nt / dt, "steal_s": round(steal, 1)}}))
 spark.stop()
 """
 
@@ -145,8 +154,10 @@ def main():
     mpc = os.environ.get("KG_SCALE_MEM_PER_CORE", "4")
     summary = {
         "n_pages": n_pages,
-        f"local{lo_cpus}": {"sec": round(lo["sec"], 2), "tps": round(lo["triples_per_sec"], 1)},
-        f"local{hi_cpus}": {"sec": round(hi["sec"], 2), "tps": round(hi["triples_per_sec"], 1)},
+        f"local{lo_cpus}": {"sec": round(lo["sec"], 2), "tps": round(lo["triples_per_sec"], 1),
+                           "steal_s": lo.get("steal_s")},
+        f"local{hi_cpus}": {"sec": round(hi["sec"], 2), "tps": round(hi["triples_per_sec"], 1),
+                            "steal_s": hi.get("steal_s")},
         "scaling_efficiency": round(eff, 3),
         "n_triples": hi["n_triples"],
         "protocol": f"mem_per_core={mpc}g, parquet-staged stages",
@@ -172,8 +183,13 @@ def main():
                 "| when | pages | cores lo | sec lo | t/s lo | cores hi | sec hi | t/s hi | efficiency lo→hi |\n"
                 "|---|---|---|---|---|---|---|---|---|\n"
             )
+        steal = (
+            f", steal {lo.get('steal_s', '?')}/{hi.get('steal_s', '?')}s"
+            if "steal_s" in lo or "steal_s" in hi
+            else ""
+        )
         f.write(
-            f"| {stamp} (mpc={mpc}g, staged) | {n_pages} | {lo_cpus} | {lo['sec']:.1f} | {lo['triples_per_sec']:.1f} "
+            f"| {stamp} (mpc={mpc}g, staged{steal}) | {n_pages} | {lo_cpus} | {lo['sec']:.1f} | {lo['triples_per_sec']:.1f} "
             f"| {hi_cpus} | {hi['sec']:.1f} | {hi['triples_per_sec']:.1f} | {eff:.3f} |\n"
         )
 
