@@ -540,6 +540,57 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """
 
 
+_ANN_QV = [[1.0, -0.5, 0.25, -1.0][j % 4] for j in range(64)]
+
+
+def q_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN top-10: the query's sign bucket plus its two
+    nearest Hamming-1 neighbors (margin-ordered), scored exactly within
+    the probed buckets.  Planes, query vector, and therefore the probed
+    bucket list are literals, so the DuckDB oracle reproduces the probe
+    set and the scan-pruned result end to end."""
+    from knowledgegraph_spark.operators.similarity import (
+        cosine,
+        hyperplane_signatures,
+        probe_buckets,
+    )
+
+    planes = _nd_planes()
+    buckets = probe_buckets(_ANN_QV, planes, probes=3)
+    e = _emb(spark, sf_dir).withColumn("v", F.col("embedding").cast("array<double>"))
+    sigs = hyperplane_signatures(e.select("vec_id", "v"), planes, vec_col="v")
+    q = F.array(*[F.lit(float(x)) for x in _ANN_QV])
+    return (
+        sigs.filter(F.col("bucket").isin(buckets))
+        .select("vec_id", F.round(cosine(F.col("v"), q), 4).alias("sim"))
+        .orderBy(F.desc("sim"), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def _ann_probe_oracle_sql() -> str:
+    from knowledgegraph_spark.operators.similarity import probe_buckets
+
+    planes = _nd_planes()
+    buckets = probe_buckets(_ANN_QV, planes, probes=3)
+    bits = " || ".join(
+        "(CASE WHEN list_inner_product(embedding::DOUBLE[], ["
+        + ",".join(str(int(x)) for x in p)
+        + "]::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+        for p in planes
+    )
+    qv = "[" + ",".join(str(x) for x in _ANN_QV) + "]"
+    blist = ", ".join(f"'{b}'" for b in buckets)
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {bits} AS bucket FROM embeddings
+)
+SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], {qv}::DOUBLE[]), 4) AS sim
+FROM sigs WHERE bucket IN ({blist})
+ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, long format
     (label, dim, mean_val) — element-wise vector aggregation."""
@@ -844,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_batch": q_knn_batch,
         "near_dup_pairs": q_near_dup_pairs,
         "near_dup_lsh": q_near_dup_lsh,
+        "ann_probe": q_ann_probe,
         "label_centroids": q_label_centroids,
         "anti_join": q_anti_join,
         "semi_join": q_semi_join,
@@ -1140,6 +1192,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """,
         "bm25_search": _BM25_ORACLE,
         "near_dup_lsh": _near_dup_lsh_oracle_sql(),
+        "ann_probe": _ann_probe_oracle_sql(),
         "label_centroids": """
 SELECT label, r.i AS dim, round(avg(embedding[r.i + 1]), 4) + 0.0 AS mean_val
 FROM embeddings JOIN range(0, 100000) r(i) ON r.i <= len(embedding) - 1
