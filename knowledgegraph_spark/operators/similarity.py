@@ -176,12 +176,29 @@ def embedding_near_dup_pairs(
     Pairs are only scored within a bucket — the embedding analogue of
     MinHash-LSH dedup.  Exact cosine verifies each candidate.
     """
-    sigs = hyperplane_signatures(vectors, planes, id_col, vec_col)
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col("bucket"), F.col(vec_col).alias("va"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col("bucket"), F.col(vec_col).alias("vb"))
+    # norms are precomputed ONCE per vector before the self-join — a
+    # vector in a bucket of size k would otherwise have its norm
+    # recomputed k-1 times inside the pair-level cosine
+    sigs = hyperplane_signatures(vectors, planes, id_col, vec_col).withColumn(
+        "_n", l2_norm(F.col(vec_col))
+    )
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("bucket"),
+        F.col(vec_col).alias("va"), F.col("_n").alias("na"),
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("bucket"),
+        F.col(vec_col).alias("vb"), F.col("_n").alias("nb"),
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+            ).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
