@@ -329,6 +329,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures on the xxhash64 scale path (same plan shape as
+    `minhash_sigs`; the md5-derived portable hash exists only so DuckDB
+    can reproduce buckets bit-for-bit).  No SQL oracle by design — the
+    driver records the rows-only check; pytest covers signature
+    stability (tests/test_dedup.py)."""
+    from knowledgegraph_spark.operators.dedup import minhash_signatures
+    from knowledgegraph_spark.operators.textstats import fast_hash64
+
+    sig = minhash_signatures(_docs(spark, sf_dir), num_hashes=16, hash_fn=fast_hash64)
+    return sig.select(
+        F.col("id").alias("doc_id"), F.concat_ws(",", F.col("sig")).alias("sig")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledgegraph_spark.operators.dedup import simhash
 
@@ -884,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "minhash_sigs": q_minhash_sigs,
+        "minhash_fast": q_minhash_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "lsh_pairs": q_lsh_pairs,

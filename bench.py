@@ -70,8 +70,18 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
 
     # Host co-tenant load poisoned the round-2 artifact (89.3s kg_pipeline
     # at loadavg ~10 vs 39.3s at ~0.1, identical code+input): record the
-    # load so every recorded JSON explains its own conditions.
+    # load AND hypervisor steal so every recorded JSON explains its own
+    # conditions (round 3 measured identical-code swings of 29.6-55.6 s
+    # tracking these two signals).
+    def _steal_s():
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8]) / 100.0
+        except Exception:
+            return 0.0
+
     load_start = os.getloadavg()
+    steal_start = _steal_s()
 
     sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -95,6 +105,7 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
         "kg_relation_tags",
         "term_graph",
         "minhash_sigs",
+        "minhash_fast",
         "simhash",
         "ngram_jaccard",
         "knn_batch",
@@ -124,6 +135,7 @@ def run(sf_dir: str, cpus: int, n_pages: int | None = None):
         "cpus": cpus,
         "host_load_1m_start": round(load_start[0], 2),
         "host_load_1m_end": round(os.getloadavg()[0], 2),
+        "host_steal_s": round(_steal_s() - steal_start, 1),
     }
     spark.stop()
     return out
