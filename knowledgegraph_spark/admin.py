@@ -72,20 +72,30 @@ def reset_failed(cat: Catalog) -> int:
         failed = led.filter(F.col("status") == "failed")
         n = failed.count()
         if n:
-            cat.write(led.filter(F.col("status") != "failed"), "checkpoint_ledger")
+            ok = led.filter(F.col("status") != "failed")
+            if "bucket" in led.columns:  # preserve the bucketed layout
+                cat.write(ok, "checkpoint_ledger", partition_by=["bucket"],
+                          meta=cat.get_meta("checkpoint_ledger"))
+            else:
+                cat.write(ok, "checkpoint_ledger")
     cat.drop("failed_pages")
     return n
 
 
-def compact_ledger(cat: Catalog) -> dict:
+def compact_ledger(cat: Catalog, n_buckets: int = 64) -> dict:
     """Rewrite the append-only checkpoint ledger to ONE row per url.
 
     The ledger grows a parquet file per batch forever; at 10^9 urls the
     resume anti-join would scan every generation.  Compaction keeps the
     latest row per url (max by (processed_at, session_id, status) —
     deterministic; a url's 'failed' marker survives until reset_failed
-    clears it), written as a single bucketed generation via the atomic
-    table swap.  Returns before/after row and file counts.
+    clears it), written as a single BUCKETED generation (url-hash
+    partition dirs + _kg_meta.json, committed atomically) via the table
+    swap — so the resume anti-join prunes to the incoming batch's buckets
+    (round-3 verdict item 7).  This is also the migration path for
+    pre-bucketing ledgers.  An already-bucketed ledger keeps its
+    persisted layout; ``n_buckets`` applies only on first bucketing.
+    Returns before/after row and file counts.
     """
     if not cat.exists("checkpoint_ledger"):
         return {"rows_before": 0, "rows_after": 0, "files_before": 0, "files_after": 0}
@@ -98,6 +108,9 @@ def compact_ledger(cat: Catalog) -> dict:
             if f.endswith(".parquet")
         )
 
+    meta = cat.get_meta("checkpoint_ledger")
+    if meta and "n_buckets" in meta:
+        n_buckets = int(meta["n_buckets"])
     led = cat.read("checkpoint_ledger")
     rows_before, files_before = led.count(), _n_files()
     latest = (
@@ -118,7 +131,15 @@ def compact_ledger(cat: Catalog) -> dict:
             F.col("m.t").alias("processed_at"),
         )
     )
-    cat.write(latest, "checkpoint_ledger")
+    latest = latest.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+    cat.write(
+        latest,
+        "checkpoint_ledger",
+        partition_by=["bucket"],
+        meta={"n_buckets": n_buckets, "partition_col": "bucket"},
+    )
     return {
         "rows_before": rows_before,
         "rows_after": cat.read("checkpoint_ledger").count(),

@@ -234,6 +234,142 @@ def make_world(rng: random.Random, n_pages: int) -> World:
 
 
 # ---------------------------------------------------------------------------
+# Scaled (non-saturating) world — entities/facts ∝ n_pages.
+#
+# The fixed-list world above SATURATES: its name pools cap people at 1200,
+# orgs at 26, facts at 200k — so beyond ~1M pages the link/CC key spaces
+# stop growing while extract volume keeps growing, which (a) is not how
+# real web corpora behave (their entity sets grow with the crawl) and
+# (b) pins the link/CC stages' work constant, distorting scaling
+# measurements (round-3 verdict item 1).  The scaled world derives every
+# entity and fact as a pure function of its index, so NOTHING is
+# materialized: the executor broadcast carries a few integers + closures,
+# not an O(n_pages) fact list, and the corpus keys keep growing with
+# n_pages the way a crawl's do.  Surface forms stay inside the extraction
+# grammar (operators/extraction.py): synthetic words are `[A-Z][a-z]+`
+# from a bijective base-50 syllable numeral, so names/orgs/projects/teams
+# parse exactly like the fixed-list ones.
+# ---------------------------------------------------------------------------
+
+from collections.abc import Sequence as _SequenceABC  # noqa: E402
+
+_SYL = [
+    "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+    "fa", "fe", "fi", "fo", "fu", "ga", "ge", "gi", "go", "gu",
+    "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu",
+    "ma", "me", "mi", "mo", "mu", "na", "ne", "ni", "no", "nu",
+    "ra", "re", "ri", "ro", "ru", "sa", "se", "si", "so", "su",
+]
+
+_M64 = (1 << 64) - 1
+
+
+def _mix(i: int) -> int:
+    """splitmix64 — deterministic index scatter (public-domain algorithm)."""
+    z = (i + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def _synth_word(idx: int, cap: bool = True) -> str:
+    """Injective index → pronounceable word (bijective base-50 numeral)."""
+    n = idx + 1
+    parts = []
+    while n:
+        n -= 1
+        parts.append(_SYL[n % 50])
+        n //= 50
+    w = "".join(reversed(parts))
+    return w.capitalize() if cap else w
+
+
+class _LazySeq(_SequenceABC):
+    """Sequence facade over an index function — len + getitem only, so
+    ``random.choice``/``random.sample`` work without materializing
+    anything.  Picklable when ``fn`` is (module-level fns / partials)."""
+
+    __slots__ = ("n", "fn")
+
+    def __init__(self, n: int, fn):
+        self.n, self.fn = n, fn
+
+    def __len__(self) -> int:
+        return self.n
+
+    def __getitem__(self, i: int):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self.n))]
+        if i < 0:
+            i += self.n
+        if not 0 <= i < self.n:
+            raise IndexError(i)
+        return self.fn(i)
+
+    def __reduce__(self):
+        return (_LazySeq, (self.n, self.fn))
+
+
+def _scaled_org(j: int) -> Org:
+    base = _synth_word(j)
+    return Org(base, ORG_SUFFIXES[_mix(j) % len(ORG_SUFFIXES)], f"{base.lower()}.example")
+
+
+def _scaled_person(i: int, n_orgs: int) -> Person:
+    first = FIRST_NAMES[i % len(FIRST_NAMES)]
+    last = _synth_word(i // len(FIRST_NAMES))
+    org = _scaled_org(_mix(i + 1) % n_orgs)
+    return Person(first, last, f"{first.lower()}.{last.lower()}@{org.domain}")
+
+
+def _scaled_repo(k: int, n_orgs: int) -> str:
+    return f"{_scaled_org(_mix(k + 3) % n_orgs).base.lower()}/{_synth_word(k, cap=False)}"
+
+
+def _scaled_branch(k: int) -> str:
+    return f"b-{_synth_word(k, cap=False)}"
+
+
+def _scaled_issue(k: int) -> str:
+    return f"{ISSUE_KEYS[_mix(k + 5) % len(ISSUE_KEYS)]}-{k + 10}"
+
+
+def _scaled_event(k: int) -> str:
+    return f"Summit {_synth_word(k)}"
+
+
+def _scaled_topic(k: int) -> str:
+    return f"topic {_synth_word(k, cap=False)}"
+
+
+def make_scaled_world(n_pages: int) -> World:
+    """World whose entity counts grow ∝ n_pages (same per-capita rates as
+    ``make_world``'s small-scale targets), with O(1) memory."""
+    from functools import partial
+
+    n_orgs = max(4, n_pages // 15)
+    w = World()
+    w.orgs = _LazySeq(n_orgs, _scaled_org)
+    w.people = _LazySeq(max(8, n_pages // 3), partial(_scaled_person, n_orgs=n_orgs))
+    w.teams = _LazySeq(max(3, n_pages // 20), _synth_word)
+    w.projects = _LazySeq(max(4, n_pages // 15), _synth_word)
+    w.repos = _LazySeq(max(4, n_pages // 12), partial(_scaled_repo, n_orgs=n_orgs))
+    w.branches = _LazySeq(max(4, n_pages // 12), _scaled_branch)
+    w.prs = range(100, 100 + max(6, n_pages // 4))
+    w.issues = _LazySeq(max(6, n_pages // 4), _scaled_issue)
+    w.events = _LazySeq(max(3, n_pages // 20), _scaled_event)
+    w.topics = _LazySeq(max(4, n_pages // 15), _scaled_topic)
+    return w
+
+
+def _fact_from_index(fidx: int, world: World, head_frac: float, seed: int):
+    """Fact ``fidx`` as a pure function of (seed, fidx) — the scaled
+    world's pool entries are derived on demand, never stored."""
+    rng = random.Random((seed + 2) * 1_000_003 + fidx)
+    return _mk_fact(rng, world, world.orgs[0], head_frac)
+
+
+# ---------------------------------------------------------------------------
 # Mention rendering + fact sentences
 #
 # A "fact" is one planted relation instance; rendering a fact yields one
@@ -497,11 +633,30 @@ def golden_text(title: str, sentences: list[str]) -> str:
     return title + "\n\n" + "\n".join(sentences)
 
 
-def build_world_and_pool(n_pages: int, seed: int = 42, head_frac: float = 0.25):
+def build_world_and_pool(n_pages: int, seed: int = 42, head_frac: float = 0.25,
+                         scaled: bool = False):
     """World + fact pool, a pure function of (n_pages, seed, head_frac).
 
-    Small (O(n_pages) tuples) — broadcastable to executors for distributed
-    page rendering."""
+    ``scaled=False`` (default, fixture posture): fixed-list world, fact
+    pool materialized and capped at 200k — small, broadcastable, and
+    byte-stable across rounds for the golden/P-R tests.  Diversity
+    SATURATES with n_pages by construction.
+
+    ``scaled=True`` (web-corpus posture): entities and facts grow ∝
+    n_pages via the index-parametric world — the pool is a ``_LazySeq``
+    deriving each fact on demand, so the executor broadcast stays O(1)
+    no matter how large n_pages is.  This is the corpus the scaling runs
+    use: link/CC key spaces grow with the crawl, as real web data does.
+    """
+    if scaled:
+        from functools import partial
+
+        w = make_scaled_world(n_pages)
+        n_facts = max(8, n_pages)
+        pool = _LazySeq(
+            n_facts, partial(_fact_from_index, world=w, head_frac=head_frac, seed=seed)
+        )
+        return w, pool
     rng = random.Random(seed)
     w = make_world(rng, n_pages)
     head_org = w.orgs[0]
@@ -572,7 +727,8 @@ def generate_page(pid: int, pool, seed: int = 42):
     return page, text, page_mentions, page_triples
 
 
-def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25):
+def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25,
+                    scaled: bool = False):
     """Generate the corpus (driver-side; for tests and goldens).
 
     Returns dict with:
@@ -581,8 +737,11 @@ def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25):
       mentions: planted mention records [{url, ord, name, type, email?, domain?}]
       triples:  planted raw triples [{url, s, p, o, strength, description}]
       world:    the World (for debugging only — pipeline must never see it)
+
+    ``scaled``: use the non-saturating index-parametric world (see
+    ``build_world_and_pool``); the P/R gates run against both postures.
     """
-    w, pool = build_world_and_pool(n_pages, seed, head_frac)
+    w, pool = build_world_and_pool(n_pages, seed, head_frac, scaled=scaled)
     pages, goldens, all_mentions, all_triples = [], {}, [], []
     for pid in range(n_pages):
         page, text, ms, ts_ = generate_page(pid, pool, seed)
@@ -599,16 +758,18 @@ def generate_corpus(n_pages: int, seed: int = 42, head_frac: float = 0.25):
     }
 
 
-def pages_dataframe(spark, n_pages: int, seed: int = 42, head_frac: float = 0.25, partitions: int | None = None):
+def pages_dataframe(spark, n_pages: int, seed: int = 42, head_frac: float = 0.25,
+                    partitions: int | None = None, scaled: bool = False):
     """Distributed corpus generation: pages rendered on executors.
 
-    spark.range(n_pages) → mapInPandas(render) with the (small) fact pool
-    broadcast — generation scales with the cluster like any other stage,
-    so benchmark inputs need never bottleneck on the driver.
+    spark.range(n_pages) → mapInPandas(render) with the fact pool
+    broadcast (an O(1) lazy pool in ``scaled`` mode) — generation scales
+    with the cluster like any other stage, so benchmark inputs need never
+    bottleneck on the driver.
     """
     from knowledgegraph_spark.config import PAGES_SCHEMA
 
-    w, pool = build_world_and_pool(n_pages, seed, head_frac)
+    w, pool = build_world_and_pool(n_pages, seed, head_frac, scaled=scaled)
     sc = spark.sparkContext
     pool_bc = sc.broadcast(pool)
     parts = partitions or sc.defaultParallelism

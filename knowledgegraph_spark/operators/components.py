@@ -111,6 +111,7 @@ def connected_components(
     stays on strings.  The node count comes from the injectivity check,
     so the decision is free.
     """
+    user_checkpointer = checkpointer
     if checkpointer is None:
         def checkpointer(df: DataFrame) -> DataFrame:
             # lazy: materialized by the fingerprint action right after —
@@ -181,7 +182,14 @@ def connected_components(
         # application lifetime, accumulating across pipeline runs in one
         # session.  This path only triggers at ≥ min_compress_nodes, where
         # one extra pass over (node, component) is noise next to the leak.
-        out = out.localCheckpoint(eager=True)
+        # A caller-supplied checkpointer (the cluster-reliable hook — pass
+        # an eager df.checkpoint wrapper) is used when given; the local
+        # default is eager localCheckpoint, which is executor-lossy on a
+        # real cluster (round-3 advice item 3) but fine in local mode.  A
+        # lazy caller hook still releases the cache correctly — the plan
+        # just recomputes the mapping once if evicted before the first
+        # downstream action.
+        out = user_checkpointer(out) if user_checkpointer is not None else out.localCheckpoint(eager=True)
         mapping.unpersist()
     return out
 

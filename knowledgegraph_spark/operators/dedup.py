@@ -58,14 +58,19 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs — distinct word n-grams per document."""
-    toks = tokens(normalized_text(F.col(text_col)))
+def shingle_array(text_col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of a text column as an array expression."""
+    toks = tokens(normalized_text(text_col))
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .filter(F.col("shingle") != "")
+    return F.filter(F.array_distinct(sh), lambda s: s != "")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_array(F.col(text_col), n)).alias("shingle"),
     )
 
 
@@ -127,11 +132,17 @@ def minhash_signatures(
     column expressions over the exploded shingles, min-aggregated per doc.
     """
     sh = shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(hash_fn(F.col("shingle"), seed=i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = sh.groupBy("id").agg(*mins)
+    # hashes are PROJECTED before the aggregation (not computed inside the
+    # min() aggregate expressions): ProjectExec's subexpression elimination
+    # then dedupes shared digests (portable_hash_sliced derives 4 seeds
+    # from one md5), and the partial aggregation runs over plain bigint
+    # columns instead of re-evaluating hash expressions per update.
+    proj = sh.select(
+        "id", *[hash_fn(F.col("shingle"), seed=i).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    agg = proj.groupBy("id").agg(
+        *[F.min(f"_h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
     return agg.select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 

@@ -76,6 +76,7 @@ def bm25_search(
     b: float = 0.75,
     n_docs: int | None = None,
     avg_dl: float | None = None,
+    score_round: int | None = None,
 ) -> DataFrame:
     """Top-k documents by BM25 over a prebuilt index.
 
@@ -121,6 +122,12 @@ def bm25_search(
         .groupBy("id")
         .agg(F.sum("s").alias("score"))
     )
+    if score_round is not None:
+        # round BEFORE ranking so an oracle ordering on rounded scores
+        # tie-breaks identically — still inside the same TakeOrdered plan
+        # (a caller re-sorting rounded scores AFTER a huge-k top-k would
+        # force the global sort this path exists to avoid)
+        scored = scored.withColumn("score", F.round("score", score_round))
     return scored.orderBy(F.desc("score"), F.col("id")).limit(k)
 
 

@@ -199,8 +199,8 @@ def fold_entities(
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_role")))).alias("role"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_location")))).alias("location"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_labels")))).alias("labels"),
-            F.min("p_worksat")["v"].alias("worksAt"),
-            F.min("p_title")["v"].alias("title"),
+            F.min("p_worksat").alias("worksAt_pair"),
+            F.min("p_title").alias("title_pair"),
             F.max("p_status")["v"].alias("status"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list("p_desc")))).alias("rawDescriptions"),
             *extra_final_aggs,
@@ -219,8 +219,12 @@ def fold_entities(
             F.sort_array(F.collect_set("role")).alias("role"),
             F.sort_array(F.collect_set("location")).alias("location"),
             F.sort_array(F.array_distinct(F.flatten(F.collect_list(F.coalesce(F.col("labels"), F.array()))))).alias("labels"),
-            _first_by_order(F.col("worksAt"), order).alias("worksAt"),
-            _first_by_order(F.col("title"), order).alias("title"),
+            F.min(
+                F.when(F.col("worksAt").isNotNull(), F.struct(order.alias("o"), F.col("worksAt").alias("v")))
+            ).alias("worksAt_pair"),
+            F.min(
+                F.when(F.col("title").isNotNull(), F.struct(order.alias("o"), F.col("title").alias("v")))
+            ).alias("title_pair"),
             if_better_agg(F.col("status")).alias("status"),
             F.sort_array(F.collect_set("description")).alias("rawDescriptions"),
         )
@@ -244,8 +248,8 @@ def fold_entities(
         sources.alias("sources"),
         n_sources.alias("n_sources"),
         "role",
-        "worksAt",
-        "title",
+        F.col("worksAt_pair")["v"].alias("worksAt"),
+        F.col("title_pair")["v"].alias("title"),
         "status",
         "location",
         "labels",
@@ -253,6 +257,19 @@ def fold_entities(
         F.col("first_seen.ts").alias("firstSeenTs"),
         F.col("first_seen.u").alias("firstSeenUrl"),
         F.col("first_seen.i").alias("firstSeenOrd"),
+        # per-attribute origin keys: the order key of the mention each
+        # order-sensitive scalar was folded FROM (≥ firstSeen).  They let
+        # pseudo-mentions re-enter later runs at the attribute's own
+        # position, not the entity's firstSeen — closing the residual
+        # incremental/one-shot divergence (round-3 advice item 1): a later
+        # batch with an attr mention ordered between firstSeen and this
+        # key now outranks the carried value exactly as a one-shot would.
+        F.col("worksAt_pair")["o"]["ts"].alias("worksAtSeenTs"),
+        F.col("worksAt_pair")["o"]["u"].alias("worksAtSeenUrl"),
+        F.col("worksAt_pair")["o"]["i"].alias("worksAtSeenOrd"),
+        F.col("title_pair")["o"]["ts"].alias("titleSeenTs"),
+        F.col("title_pair")["o"]["u"].alias("titleSeenUrl"),
+        F.col("title_pair")["o"]["i"].alias("titleSeenOrd"),
         F.col("component"),
     )
 
@@ -638,7 +655,39 @@ def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     joined = e.join(n, ["type", "name"], "full_outer")
     cols = [F.col("type"), F.col("name")]
     handled = {"type", "name"}
+    # Order-sensitive scalars with a persisted origin key (fold_entities'
+    # worksAtSeen*/titleSeen*): cross-run merge = min by the attribute's
+    # OWN origin order — the upsert-level half of the one-shot-equivalent
+    # "first by (warc_ts, url, ord)" contract.  PRESERVE_EXISTING (the
+    # reference's batch-arrival first-wins) remains the fallback when
+    # either side lacks the origin columns (legacy tables).
+    for attr in ("worksAt", "title"):
+        seen = [f"{attr}Seen{s}" for s in ("Ts", "Url", "Ord")]
+        if not all(c in existing.columns and c in incoming.columns for c in seen):
+            continue
+
+        def _pair(side, attr=attr, seen=seen):
+            return F.struct(
+                F.col(f"{side}.{seen[0]}").alias("ts"),
+                F.col(f"{side}.{seen[1]}").alias("u"),
+                F.col(f"{side}.{seen[2]}").alias("i"),
+                F.col(f"{side}.{attr}").alias("v"),
+            )
+
+        best = F.least(
+            F.when(F.col(f"e.{attr}").isNotNull(), _pair("e")),
+            F.when(F.col(f"n.{attr}").isNotNull(), _pair("n")),
+        )
+        cols += [
+            best["v"].alias(attr),
+            best["ts"].alias(seen[0]),
+            best["u"].alias(seen[1]),
+            best["i"].alias(seen[2]),
+        ]
+        handled |= {attr, *seen}
     for f, strat in strategies.items():
+        if f in handled:
+            continue
         if f in existing.columns and f in incoming.columns:
             cols.append(merge_strategy_expr(F.col(f"e.{f}"), F.col(f"n.{f}"), strat).alias(f))
             handled.add(f)

@@ -2,14 +2,18 @@
 
 Large-scale training pipelines carry image/audio/video as opaque
 ``binary`` columns with typed metadata, decoding inside Arrow-batched
-UDFs.  This container has no codec libraries, so the DECODE KERNELS ARE
-STUBBED (deterministic fake features, clearly marked) — but everything
-Spark-side is real and tested: schema, partition-size control, UDF
-signatures, Arrow batch shapes, and the mapInPandas streaming contract
-(never materialize a whole partition of blobs in memory).
+UDFs.  Everything Spark-side is real and tested: schema, partition-size
+control, UDF signatures, Arrow batch shapes, and the mapInPandas
+streaming contract (never materialize a whole partition of blobs in
+memory).
 
-Swap ``_decode_image_stub`` for a PIL/torchvision kernel on a real
-cluster; no plan shape changes.
+Decode kernels: UNCOMPRESSED raster formats are decoded for real in pure
+numpy — 24-bit BMP (BITMAPINFOHEADER, no compression) and binary PGM
+(P5) — exercising the full decode → pixel-stats feature path with no
+codec libraries.  Compressed formats (JPEG/PNG/audio/video codecs) have
+no decoder in this container and FALL BACK TO A STUB (deterministic fake
+features, clearly marked); swap ``_decode_image_stub`` for a
+PIL/torchvision kernel on a real cluster — no plan shape changes.
 """
 
 from __future__ import annotations
@@ -53,6 +57,104 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy decode of an uncompressed 24-bit BMP → HxWx3 uint8 (RGB).
+
+    Supports the common BITMAPINFOHEADER layout: bottom-up rows, 4-byte
+    row padding, BGR byte order, BI_RGB (no compression).  Returns None
+    for any other BMP flavor (caller falls back to the stub).
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    flip = height > 0  # positive height = bottom-up row order
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    need = data_off + row_bytes * h
+    if len(payload) < need:
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : width * 3].reshape(h, width, 3)
+    if flip:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_pgm(payload: bytes) -> np.ndarray | None:
+    """Pure-numpy decode of a binary PGM (P5) → HxWx3 uint8 (gray
+    replicated to RGB so downstream features are format-agnostic)."""
+    if len(payload) < 10 or payload[:2] != b"P5":
+        return None
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (with optional '#' comment lines), then ONE whitespace byte, then raw
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(payload[start:pos])
+    if len(fields) < 3:
+        return None
+    try:
+        width, height, maxval = (int(f) for f in fields)
+    except ValueError:
+        return None
+    if width <= 0 or height <= 0 or not (0 < maxval < 256):
+        return None
+    pos += 1  # the single whitespace byte after maxval
+    if len(payload) < pos + width * height:
+        return None
+    gray = np.frombuffer(payload, dtype=np.uint8, count=width * height, offset=pos)
+    if maxval != 255:
+        gray = (gray.astype(np.uint32) * 255 // maxval).astype(np.uint8)
+    return np.repeat(gray.reshape(height, width, 1), 3, axis=2)
+
+
+def pixel_features(pixels: np.ndarray) -> np.ndarray:
+    """16-dim feature from an HxWx3 uint8 image: per-channel mean/std (6),
+    luminance mean/std (2), 8-bin luminance histogram (8) — the
+    deterministic stand-in for a model forward pass, computed from REAL
+    decoded pixels."""
+    px = pixels.astype(np.float64)
+    lum = px.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 256.0))
+    hist = hist / max(1, lum.size)
+    return np.concatenate(
+        [
+            px.reshape(-1, 3).mean(axis=0) / 255.0,
+            px.reshape(-1, 3).std(axis=0) / 255.0,
+            [lum.mean() / 255.0, lum.std() / 255.0],
+            hist,
+        ]
+    )
+
+
+def _decode_image(payload: bytes | None) -> np.ndarray | None:
+    """Feature kernel: REAL decode for uncompressed rasters (BMP/PGM),
+    stub fallback for formats with no decoder in this container."""
+    if payload is None:
+        return None
+    pixels = decode_bmp(payload)
+    if pixels is None:
+        pixels = decode_pgm(payload)
+    if pixels is not None:
+        return pixel_features(pixels)
+    return _decode_image_stub(payload)
+
+
 def _decode_image_stub(payload: bytes | None) -> np.ndarray | None:
     """STUB decode kernel — deterministic fake feature from payload bytes.
 
@@ -86,7 +188,7 @@ def image_features(media: DataFrame, batch_limit: int = 256) -> DataFrame:
         for pdf in batches:
             feats = [
                 None if f is None else [float(x) for x in f]
-                for f in (_decode_image_stub(p) for p in pdf["payload"])
+                for f in (_decode_image(p) for p in pdf["payload"])
             ]
             yield pd.DataFrame(
                 {

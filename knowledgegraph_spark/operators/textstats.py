@@ -103,6 +103,24 @@ def portable_hash64(col: Column, seed: int = 0) -> Column:
     ).cast("bigint")
 
 
+def portable_hash_sliced(col: Column, seed: int = 0) -> Column:
+    """Portable hash family amortizing ONE md5 digest across 4 seeds.
+
+    Seed ``i`` reads the 8-hex-char (32-bit) slice ``i % 4`` of
+    ``md5((i // 4) || '|' || value)`` — a k-seed MinHash family costs
+    ``ceil(k/4)`` digests per value instead of k (the per-(value, seed)
+    md5 of ``portable_hash64`` was the dominant cost of the portable
+    MinHash path).  32 bits per hash is ample for MinHash: the only
+    requirement is that *distinct shingles* rarely collide, and both
+    engines compute identical slices, so the DuckDB oracle stays
+    bit-for-bit:  CAST(('0x' || substr(md5('g|' || v), 1+8*j, 8)) AS
+    BIGINT).  The scale path remains ``fast_hash64`` (xxhash64).
+    """
+    group, slot = divmod(seed, 4)
+    digest = F.md5(F.concat(F.lit(str(group) + "|"), col))
+    return F.conv(F.substring(digest, 1 + 8 * slot, 8), 16, 10).cast("bigint")
+
+
 def fast_hash64(col: Column, seed: int = 0) -> Column:
     """Scale-path 64-bit hash: xxhash64 (JVM-native, ~10× cheaper than the
     md5-derived portable hash).  Not reproducible in DuckDB — use

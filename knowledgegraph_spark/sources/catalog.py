@@ -68,9 +68,8 @@ class Catalog:
                         shutil.rmtree(ep, ignore_errors=True)
                     else:
                         os.rename(ep, live_p)
-        # Commit manifests (replace_partitions audit records): once the
-        # .tmp/.old sweeps above ran, the table state is healed — any
-        # leftover manifest is from a crashed commit and can be retired.
+        # Legacy hygiene: retire commit-manifest files written by earlier
+        # revisions (the marker-based heal above is complete without them).
         for d in sorted(os.listdir(warehouse)):
             if ".commit-" in d and d.endswith(".json"):
                 os.remove(os.path.join(warehouse, d))
@@ -93,8 +92,15 @@ class Catalog:
         table: str,
         partition_by: list[str] | None = None,
         repartition_cols: list[str] | None = None,
+        meta: dict | None = None,
     ) -> None:
-        """Atomic replace: write a new generation dir, then swap it in."""
+        """Atomic replace: write a new generation dir, then swap it in.
+
+        ``meta``: table-level metadata (bucket layout) written INTO the
+        new generation dir before the swap, so data + meta commit in one
+        rename — a crash can never leave a bucketed table without its
+        ``_kg_meta.json`` (the round-3 advice's write-then-put_meta gap).
+        """
         final = self.path(table)
         tmp = f"{final}.tmp-{uuid.uuid4().hex[:8]}"
         writer = df
@@ -104,6 +110,9 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
+        if meta is not None:
+            with open(os.path.join(tmp, "_kg_meta.json"), "w") as f:
+                json.dump(meta, f)
         old = f"{final}.old-{uuid.uuid4().hex[:8]}"
         if os.path.exists(final):
             os.rename(final, old)
@@ -124,27 +133,23 @@ class Catalog:
         not O(table).  A touched partition with no surviving rows is
         deleted (dynamic partition overwrite cannot express that case).
 
-        Crash safety: a commit manifest (bucket list + generation id) is
-        written before the swap loop, and each partition is swapped via
-        rename-aside (dst → ``dst.old-<gen>``; src → dst; drop .old) —
-        never rmtree-then-rename, so no crash window deletes the only
-        copy of previously committed rows.  ``Catalog.__init__`` heals
-        any interrupted state from the .old/.tmp markers (restore an
+        Crash safety: each partition is swapped via rename-aside (dst →
+        ``dst.old-<gen>``; src → dst; drop .old) — never
+        rmtree-then-rename, so no crash window deletes the only copy of
+        previously committed rows.  ``Catalog.__init__`` heals any
+        interrupted state from the .old/.tmp markers alone (restore an
         .old whose live partition is missing; drop the rest), after
         which a rerun re-applies the same idempotent merge — the ledger
-        commits last, so the batch is re-processed, not lost.
+        commits last, so the batch is re-processed, not lost.  (An
+        earlier revision also wrote a commit manifest before the swap
+        loop; recovery never consulted it — the markers are complete —
+        and a manifest file was a hazard under two concurrent Catalogs
+        on one warehouse, so it was dropped; round-3 advice item 4.)
         """
         final = self.path(table)
         gen = uuid.uuid4().hex[:8]
         tmp = f"{final}.tmp-{gen}"
         df.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-        manifest = os.path.join(self.warehouse, f"{table}.commit-{gen}.json")
-        with open(manifest, "w") as f:
-            json.dump(
-                {"table": table, "partition_col": partition_col,
-                 "values": [str(v) for v in values], "gen": gen},
-                f,
-            )
         try:
             for v in values:
                 dst = os.path.join(final, f"{partition_col}={v}")
@@ -158,17 +163,20 @@ class Catalog:
                     shutil.rmtree(old, ignore_errors=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-            if os.path.exists(manifest):
-                os.remove(manifest)
 
-    def append(self, df: DataFrame, table: str) -> None:
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
         """Append-only commit for log-style tables (metrics, ledgers).
 
         O(delta) — new parquet files land next to the existing ones; no
         read-modify-rewrite of the table.  Readers ignore `_`-prefixed
         committer temp dirs, so a crashed append leaves no torn reads.
+        ``partition_by``: append into partition subdirs (the bucketed
+        ledger layout) so readers can prune.
         """
-        df.write.mode("append").parquet(self.path(table))
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
 
     def upsert(self, incoming: DataFrame, table: str, merge_fn) -> None:
         """merge_fn(existing_df, incoming_df) -> merged_df; swap atomically.

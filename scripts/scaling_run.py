@@ -38,7 +38,11 @@ sys.path.insert(0, {repo!r})
 from knowledgegraph_spark import get_spark
 from knowledgegraph_spark.corpus import pages_dataframe
 spark = get_spark("gen", master="local[8]", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
-pages_dataframe(spark, int(sys.argv[1])).write.mode("overwrite").parquet(sys.argv[2])
+# scaled=True: the NON-SATURATING world — entities/facts grow with
+# n_pages (as real crawls do), so the link/CC key spaces scale with the
+# corpus instead of pinning at the fixture world's fixed pools (round-3
+# verdict item 1).  KG_SCALE_WORLD=legacy reverts to the fixture world.
+pages_dataframe(spark, int(sys.argv[1]), scaled={scaled}).write.mode("overwrite").parquet(sys.argv[2])
 spark.stop()
 """
 
@@ -86,6 +90,7 @@ def _steal_s():
 
 stages = tempfile.mkdtemp(prefix="kg_scale_stages_")
 steal0 = _steal_s()
+load0 = os.getloadavg()[0]  # co-tenant CPU pressure at leg start
 t0 = time.time()
 # provenance_cap=64: the 100-TB posture.  Uncapped provenance grows the
 # head entity's sources/descriptions sets linearly with the corpus; with
@@ -96,31 +101,66 @@ res = build_kg(spark, pages, stage_path=stages, provenance_cap=64)
 nt = res.triples.count(); ne = res.entities.count()
 dt = time.time() - t0
 steal = _steal_s() - steal0
+load1 = os.getloadavg()[0]
 shutil.rmtree(stages, ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "sec": dt, "n_triples": nt, "n_entities": ne,
-                   "triples_per_sec": nt / dt, "steal_s": round(steal, 1)}}))
+                   "triples_per_sec": nt / dt, "steal_s": round(steal, 1),
+                   "loadavg": [round(load0, 2), round(load1, 2)]}}))
 spark.stop()
 """
+
+
+def _leg_noise(leg: dict) -> tuple[float, float]:
+    """(steal seconds, peak loadavg) of one measured leg."""
+    la = leg.get("loadavg") or [0.0]
+    return float(leg.get("steal_s") or 0.0), max(float(x) for x in la)
+
+
+def noise_flags(lo: dict, hi: dict) -> list[str]:
+    """Asymmetric external noise makes the ratio meaningless in either
+    direction; flag legs differing >2× in steal or loadavg (with floors —
+    1.5s steal / 1.0 loadavg — below which the signal is idle jitter).
+    Round-3 verdict item 8: a quiet row must be self-certifying on BOTH
+    signals, and the 04:14 near-symmetric-steal artifact showed symmetric
+    steal alone does not certify quietness — so also flag any leg over
+    the absolute quiet bounds (steal > 20s or loadavg > 1 + noted)."""
+    flags = []
+    s_lo, l_lo = _leg_noise(lo)
+    s_hi, l_hi = _leg_noise(hi)
+    s_a, s_b = sorted([max(s_lo, 1.5), max(s_hi, 1.5)])
+    if s_b / s_a > 2.0:
+        flags.append(f"steal-asymmetric {s_lo:.1f}s vs {s_hi:.1f}s")
+    l_a, l_b = sorted([max(l_lo, 1.0), max(l_hi, 1.0)])
+    if l_b / l_a > 2.0:
+        flags.append(f"loadavg-asymmetric {l_lo:.1f} vs {l_hi:.1f}")
+    if max(s_lo, s_hi) > 20.0:
+        flags.append(f"steal-high {max(s_lo, s_hi):.1f}s")
+    if max(l_lo, l_hi) > 1.0:
+        flags.append(f"loadavg-high {max(l_lo, l_hi):.1f}")
+    return flags
 
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     lo_cpus = int(os.environ.get("KG_SCALE_LO", "2"))
     hi_cpus = int(os.environ.get("KG_SCALE_HI", "8"))
+    scaled = os.environ.get("KG_SCALE_WORLD", "scaled") != "legacy"
 
     # KG_SCALE_PAGES_DIR: reuse a pre-generated pages parquet across runs
-    # (the corpus render is deterministic in (n_pages, seed), so the input
-    # is identical); generated there on first use.
+    # (the corpus render is deterministic in (n_pages, seed, world mode),
+    # so the input is identical); generated there on first use.  The
+    # scaled-world input lives under a distinct name — the two corpora
+    # are different data.
     reuse = os.environ.get("KG_SCALE_PAGES_DIR")
     tmp = tempfile.mkdtemp(prefix="kg_scale_")
-    pages_path = (
-        os.path.join(reuse, f"pages_{n_pages}") if reuse else os.path.join(tmp, "pages")
-    )
+    stem = f"pages_{n_pages}_sw" if scaled else f"pages_{n_pages}"
+    pages_path = os.path.join(reuse, stem) if reuse else os.path.join(tmp, "pages")
     try:
         if not os.path.isdir(pages_path):
             subprocess.run(
-                [sys.executable, "-c", GEN.format(repo=REPO), str(n_pages), pages_path],
-                check=True, cwd=REPO, timeout=3600, capture_output=True, text=True,
+                [sys.executable, "-c", GEN.format(repo=REPO, scaled=scaled),
+                 str(n_pages), pages_path],
+                check=True, cwd=REPO, timeout=7200, capture_output=True, text=True,
             )
 
         def run_level(cpus: int) -> dict:
@@ -152,15 +192,19 @@ def main():
         (hi_cpus / lo_cpus) * lo["triples_per_sec"]
     )
     mpc = os.environ.get("KG_SCALE_MEM_PER_CORE", "4")
+    flags = noise_flags(lo, hi)
     summary = {
         "n_pages": n_pages,
         f"local{lo_cpus}": {"sec": round(lo["sec"], 2), "tps": round(lo["triples_per_sec"], 1),
-                           "steal_s": lo.get("steal_s")},
+                           "steal_s": lo.get("steal_s"), "loadavg": lo.get("loadavg")},
         f"local{hi_cpus}": {"sec": round(hi["sec"], 2), "tps": round(hi["triples_per_sec"], 1),
-                            "steal_s": hi.get("steal_s")},
+                            "steal_s": hi.get("steal_s"), "loadavg": hi.get("loadavg")},
         "scaling_efficiency": round(eff, 3),
         "n_triples": hi["n_triples"],
+        "world": "scaled" if scaled else "legacy",
         "protocol": f"mem_per_core={mpc}g, parquet-staged stages",
+        "noise_flags": flags,
+        "certified_quiet": not flags,
     }
     print(json.dumps(summary))
 
@@ -188,8 +232,15 @@ def main():
             if "steal_s" in lo or "steal_s" in hi
             else ""
         )
+        la = (
+            f", loadavg {max(lo.get('loadavg') or [0]):.1f}/{max(hi.get('loadavg') or [0]):.1f}"
+            if lo.get("loadavg") or hi.get("loadavg")
+            else ""
+        )
+        world = ", scaled-world" if scaled else ""
+        flag_txt = f" **FLAGGED: {'; '.join(flags)}**" if flags else " certified-quiet"
         f.write(
-            f"| {stamp} (mpc={mpc}g, staged{steal}) | {n_pages} | {lo_cpus} | {lo['sec']:.1f} | {lo['triples_per_sec']:.1f} "
+            f"| {stamp} (mpc={mpc}g, staged{steal}{la}{world}{flag_txt}) | {n_pages} | {lo_cpus} | {lo['sec']:.1f} | {lo['triples_per_sec']:.1f} "
             f"| {hi_cpus} | {hi['sec']:.1f} | {hi['triples_per_sec']:.1f} | {eff:.3f} |\n"
         )
 
