@@ -35,12 +35,12 @@ sys.path.insert(0, {repo!r})
 from knowledgegraph_spark import get_spark
 from knowledgegraph_spark.corpus import pages_dataframe
 spark = get_spark("gen", master="local[8]", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
-pages_dataframe(spark, int(sys.argv[1])).write.mode("overwrite").parquet(sys.argv[2])
+pages_dataframe(spark, int(sys.argv[1]), scaled={scaled}).write.mode("overwrite").parquet(sys.argv[2])
 spark.stop()
 """
 
 CHILD = r"""
-import json, sys, time, tempfile
+import json, os, sys, time, tempfile
 sys.path.insert(0, {repo!r})
 from knowledgegraph_spark import get_spark
 from knowledgegraph_spark.operators.extraction import (
@@ -53,10 +53,16 @@ from knowledgegraph_spark.operators.merge import (
     canonical_mapping, fold_entities, resolve_and_fold_triples)
 
 cpus = int(sys.argv[1]); path = sys.argv[2]
+conf = {{"spark.ui.showConsoleProgress": "false"}}
+mpc = os.environ.get("KG_SCALE_MEM_PER_CORE", "4")
+if mpc and int(mpc) > 0:
+    conf["spark.driver.memory"] = f"{{int(mpc) * cpus}}g"
 spark = get_spark("profile", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
-                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+                  extra_conf=conf)
 pages = spark.read.parquet(path)
 extract_mentions_and_triples(with_extracted_text(pages.limit(256))).count()  # warm
+from pyspark.sql import functions as F
+pages.agg(F.sum(F.length("html")), F.sum(F.length("text"))).collect()  # warm page cache
 
 tmp = tempfile.mkdtemp(prefix="kg_prof_")
 t = {{}}
@@ -84,15 +90,20 @@ assignments.write.mode("overwrite").parquet(f"{{tmp}}/asg")
 t["cc"] = time.time() - t0
 
 assignments = spark.read.parquet(f"{{tmp}}/asg")
+# fold posture = the scaling run's: provenance_cap=64 + adaptive salts
+from knowledgegraph_spark.plans.pipeline import _auto_salts
 t0 = time.time()
-ents = fold_entities(mentions, assignments)
+n_salts = _auto_salts(mentions, capped=True)
+t["salt_probe"] = time.time() - t0
+t0 = time.time()
+ents = fold_entities(mentions, assignments, provenance_cap=64, n_salts=n_salts)
 ents.write.mode("overwrite").parquet(f"{{tmp}}/ents")
 t["fold_e"] = time.time() - t0
 
 ents = spark.read.parquet(f"{{tmp}}/ents")
 t0 = time.time()
-mapping = canonical_mapping(mentions, assignments, canon=ents)
-n = resolve_and_fold_triples(raw_triples, mapping).count()
+mapping = canonical_mapping(mentions, assignments, canon=ents).localCheckpoint(eager=True)
+n = resolve_and_fold_triples(raw_triples, mapping, provenance_cap=64, n_salts=n_salts).count()
 t["fold_t"] = time.time() - t0
 
 t["n_triples"] = n
@@ -105,14 +116,19 @@ def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    scaled = os.environ.get("KG_SCALE_WORLD", "scaled") != "legacy"
 
+    reuse = os.environ.get("KG_SCALE_PAGES_DIR")
     tmp = tempfile.mkdtemp(prefix="kg_profpages_")
-    pages = os.path.join(tmp, "pages")
+    stem = f"pages_{n_pages}_sw" if scaled else f"pages_{n_pages}"
+    pages = os.path.join(reuse, stem) if reuse else os.path.join(tmp, "pages")
     try:
-        subprocess.run(
-            [sys.executable, "-c", GEN.format(repo=REPO), str(n_pages), pages],
-            check=True, cwd=REPO, timeout=3600, capture_output=True, text=True,
-        )
+        if not os.path.isdir(pages):
+            subprocess.run(
+                [sys.executable, "-c", GEN.format(repo=REPO, scaled=scaled),
+                 str(n_pages), pages],
+                check=True, cwd=REPO, timeout=7200, capture_output=True, text=True,
+            )
 
         def run(cpus):
             n_host = os.cpu_count() or 32

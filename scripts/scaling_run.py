@@ -28,6 +28,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import time
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -65,6 +66,17 @@ conf = {{"spark.ui.showConsoleProgress": "false"}}
 mpc = os.environ.get("KG_SCALE_MEM_PER_CORE", "4")
 if mpc and int(mpc) > 0:
     conf["spark.driver.memory"] = f"{{int(mpc) * cpus}}g"
+# KG_SCALE_LOCAL_DIR (set by the parent, tmpfs by default): shuffle files,
+# localCheckpoints, and stage parquet go to RAM-backed storage.  A real
+# N->4N cluster scales LOCAL DISK with executor count (each node brings
+# its own SSD); this box has ONE ~530 MB/s virtual disk, so the 8-core
+# leg gets 1/4 the per-core IO bandwidth of the 2-core leg — charging a
+# single-box artifact against the engine's scaling, exactly like a fixed
+# total heap would (see KG_SCALE_MEM_PER_CORE above).  tmpfs holds
+# per-core IO constant across legs.  Set KG_SCALE_TMPFS=0 to disable.
+ldir = os.environ.get("KG_SCALE_LOCAL_DIR")
+if ldir:
+    conf["spark.local.dir"] = ldir
 spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
                   extra_conf=conf)
 pages = spark.read.parquet(path)
@@ -88,7 +100,7 @@ def _steal_s():
     with open("/proc/stat") as f:
         return int(f.readline().split()[8]) / 100.0
 
-stages = tempfile.mkdtemp(prefix="kg_scale_stages_")
+stages = tempfile.mkdtemp(prefix="kg_scale_stages_", dir=ldir or None)
 steal0 = _steal_s()
 load0 = os.getloadavg()[0]  # co-tenant CPU pressure at leg start
 t0 = time.time()
@@ -110,27 +122,41 @@ spark.stop()
 """
 
 
-def _leg_noise(leg: dict) -> tuple[float, float]:
-    """(steal seconds, peak loadavg) of one measured leg."""
-    la = leg.get("loadavg") or [0.0]
-    return float(leg.get("steal_s") or 0.0), max(float(x) for x in la)
+def _settle_loadavg(limit: float = 1.0, max_wait: int = 600) -> float:
+    """Wait for the 1-min loadavg to decay under ``limit`` (≤ max_wait s)
+    and return the reading.  The loadavg measured DURING a leg counts our
+    own JVM's runnable threads (a local[8] leg reads ~8 by construction),
+    so the EXTERNAL-pressure signal must be sampled before the leg starts
+    — after the previous leg's own contribution has decayed (1-min
+    loadavg decays as e^(-t/60): 3 min shrinks an 8-core leg's residue
+    to ~0.4)."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        la = os.getloadavg()[0]
+        if la <= limit:
+            return la
+        time.sleep(15)
+    return os.getloadavg()[0]
 
 
 def noise_flags(lo: dict, hi: dict) -> list[str]:
     """Asymmetric external noise makes the ratio meaningless in either
-    direction; flag legs differing >2× in steal or loadavg (with floors —
-    1.5s steal / 1.0 loadavg — below which the signal is idle jitter).
-    Round-3 verdict item 8: a quiet row must be self-certifying on BOTH
-    signals, and the 04:14 near-symmetric-steal artifact showed symmetric
-    steal alone does not certify quietness — so also flag any leg over
-    the absolute quiet bounds (steal > 20s or loadavg > 1 + noted)."""
+    direction; flag legs differing >2× in steal or pre-leg loadavg (with
+    floors — 1.5s steal / 0.5 loadavg — below which the signal is idle
+    jitter).  Round-3 verdict item 8: a quiet row must be self-certifying
+    on BOTH signals, and the 04:14 near-symmetric-steal artifact showed
+    symmetric steal alone does not certify quietness — so also flag any
+    leg over the absolute quiet bounds (steal > 20s, external loadavg >
+    1 at leg start)."""
     flags = []
-    s_lo, l_lo = _leg_noise(lo)
-    s_hi, l_hi = _leg_noise(hi)
+    s_lo = float(lo.get("steal_s") or 0.0)
+    s_hi = float(hi.get("steal_s") or 0.0)
+    l_lo = float(lo.get("ext_loadavg") or 0.0)
+    l_hi = float(hi.get("ext_loadavg") or 0.0)
     s_a, s_b = sorted([max(s_lo, 1.5), max(s_hi, 1.5)])
     if s_b / s_a > 2.0:
         flags.append(f"steal-asymmetric {s_lo:.1f}s vs {s_hi:.1f}s")
-    l_a, l_b = sorted([max(l_lo, 1.0), max(l_hi, 1.0)])
+    l_a, l_b = sorted([max(l_lo, 0.5), max(l_hi, 0.5)])
     if l_b / l_a > 2.0:
         flags.append(f"loadavg-asymmetric {l_lo:.1f} vs {l_hi:.1f}")
     if max(s_lo, s_hi) > 20.0:
@@ -164,6 +190,14 @@ def main():
             )
 
         def run_level(cpus: int) -> dict:
+            # settle + sample EXTERNAL loadavg before the leg (the in-leg
+            # reading counts our own JVM; see _settle_loadavg)
+            ext = _settle_loadavg()
+            env = dict(os.environ)
+            ldir = None
+            if os.environ.get("KG_SCALE_TMPFS", "1") != "0" and os.path.isdir("/dev/shm"):
+                ldir = tempfile.mkdtemp(prefix=f"kg_scale_local_{cpus}_", dir="/dev/shm")
+                env["KG_SCALE_LOCAL_DIR"] = ldir
             # taskset pins the whole JVM (task threads + GC + shuffle IO) to
             # exactly `cpus` cores — local[N] alone only caps task slots,
             # and JVM utility threads would otherwise spill onto extra
@@ -173,15 +207,22 @@ def main():
                 "taskset", "-c", f"{n_host - cpus}-{n_host - 1}",
                 sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), pages_path,
             ]
-            out = subprocess.run(
-                cmd,
-                capture_output=True, text=True, cwd=REPO,
-                timeout=int(os.environ.get("KG_SCALE_TIMEOUT", "3600")),
-            )
+            try:
+                out = subprocess.run(
+                    cmd,
+                    capture_output=True, text=True, cwd=REPO, env=env,
+                    timeout=int(os.environ.get("KG_SCALE_TIMEOUT", "3600")),
+                )
+            finally:
+                if ldir:
+                    shutil.rmtree(ldir, ignore_errors=True)
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
             if not lines:
                 raise RuntimeError(out.stderr[-2000:])
-            return json.loads(lines[-1])
+            res = json.loads(lines[-1])
+            res["ext_loadavg"] = round(ext, 2)
+            res["tmpfs_local"] = bool(ldir)
+            return res
 
         lo = run_level(lo_cpus)
         hi = run_level(hi_cpus)
@@ -196,13 +237,16 @@ def main():
     summary = {
         "n_pages": n_pages,
         f"local{lo_cpus}": {"sec": round(lo["sec"], 2), "tps": round(lo["triples_per_sec"], 1),
-                           "steal_s": lo.get("steal_s"), "loadavg": lo.get("loadavg")},
+                           "steal_s": lo.get("steal_s"), "ext_loadavg": lo.get("ext_loadavg"),
+                           "in_leg_loadavg": lo.get("loadavg")},
         f"local{hi_cpus}": {"sec": round(hi["sec"], 2), "tps": round(hi["triples_per_sec"], 1),
-                            "steal_s": hi.get("steal_s"), "loadavg": hi.get("loadavg")},
+                            "steal_s": hi.get("steal_s"), "ext_loadavg": hi.get("ext_loadavg"),
+                            "in_leg_loadavg": hi.get("loadavg")},
         "scaling_efficiency": round(eff, 3),
         "n_triples": hi["n_triples"],
         "world": "scaled" if scaled else "legacy",
-        "protocol": f"mem_per_core={mpc}g, parquet-staged stages",
+        "protocol": f"mem_per_core={mpc}g, parquet-staged stages"
+        + (", tmpfs-local" if lo.get("tmpfs_local") else ""),
         "noise_flags": flags,
         "certified_quiet": not flags,
     }
@@ -233,11 +277,12 @@ def main():
             else ""
         )
         la = (
-            f", loadavg {max(lo.get('loadavg') or [0]):.1f}/{max(hi.get('loadavg') or [0]):.1f}"
-            if lo.get("loadavg") or hi.get("loadavg")
+            f", ext-loadavg {lo.get('ext_loadavg', 0):.1f}/{hi.get('ext_loadavg', 0):.1f}"
+            if "ext_loadavg" in lo or "ext_loadavg" in hi
             else ""
         )
         world = ", scaled-world" if scaled else ""
+        world += ", tmpfs-local" if lo.get("tmpfs_local") else ""
         flag_txt = f" **FLAGGED: {'; '.join(flags)}**" if flags else " certified-quiet"
         f.write(
             f"| {stamp} (mpc={mpc}g, staged{steal}{la}{world}{flag_txt}) | {n_pages} | {lo_cpus} | {lo['sec']:.1f} | {lo['triples_per_sec']:.1f} "
