@@ -57,6 +57,9 @@ conf = {{"spark.ui.showConsoleProgress": "false"}}
 mpc = os.environ.get("KG_SCALE_MEM_PER_CORE", "4")
 if mpc and int(mpc) > 0:
     conf["spark.driver.memory"] = f"{{int(mpc) * cpus}}g"
+# fine-grained splits — see scaling_run.py (8-file inputs would pin map
+# parallelism at 8 and make every stage straggler-gated on the hi leg)
+conf["spark.sql.files.maxPartitionBytes"] = os.environ.get("KG_SCALE_SPLIT_MB", "16") + "m"
 spark = get_spark("profile", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
                   extra_conf=conf)
 pages = spark.read.parquet(path)

@@ -77,6 +77,16 @@ if mpc and int(mpc) > 0:
 ldir = os.environ.get("KG_SCALE_LOCAL_DIR")
 if ldir:
     conf["spark.local.dir"] = ldir
+# Fine-grained file splits (default 128 MB would cut the ~400 MB input
+# and ~800 MB stage tables into ≤8 splits = EXACTLY the hi leg's core
+# count): every map stage then runs one wave of coarse tasks whose
+# slowest straggler gates the stage, while the lo leg load-balances over
+# 4 waves — a partition-sizing artifact, not engine scaling.  16 MB
+# splits give both legs enough waves to smooth stragglers; stage tails
+# shrink from ~one coarse task to ~one fine task across every stage of
+# the job.  (This is the spark.sql.files.maxPartitionBytes sizing rule
+# any real deployment applies.)
+conf["spark.sql.files.maxPartitionBytes"] = os.environ.get("KG_SCALE_SPLIT_MB", "16") + "m"
 spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
                   extra_conf=conf)
 pages = spark.read.parquet(path)
