@@ -766,6 +766,37 @@ def q_merge_exprs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_permissions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6: document → derived-row permissions propagation via the REAL
+    merge.propagate_permissions (explode sources → broadcast page join →
+    distinct-union refold) — the reference's document-permission
+    inheritance (vespa_email_pipeline.py:624-666) driver-gated with a
+    DuckDB list-union oracle (round-4 verdict item 6).
+
+    Fixture: each document carries two deterministic permission tags;
+    the per-lang "entity" has every doc of that lang in its sources."""
+    from knowledgegraph_spark.operators.merge import propagate_permissions
+
+    d = _docs(spark, sf_dir)
+    url = F.concat(F.lit("doc://"), F.col("doc_id"))
+    page_perms = d.select(
+        url.alias("url"),
+        F.array(
+            F.concat(F.lit("grp_"), (F.col("doc_id") % 7).cast("string")),
+            F.concat(F.lit("org_"), (F.col("doc_id") % 3).cast("string")),
+        ).alias("permissions"),
+    )
+    table = d.groupBy("lang").agg(
+        F.sort_array(F.collect_set(url)).alias("sources")
+    )
+    out = propagate_permissions(table, page_perms, ["lang"])
+    return out.select(
+        "lang",
+        F.size("sources").alias("n_sources"),
+        F.concat_ws(",", F.col("permissions")).alias("permissions"),
+    )
+
+
 def q_sha_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar: systematic sha256 relation ids."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -957,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_join": q_dim_join,
         "supplier_stats": q_supplier_stats,
         "merge_exprs": q_merge_exprs,
+        "permissions_fold": q_permissions_fold,
         "sha_ids": q_sha_ids,
         "stats_by_lang": q_stats_by_lang,
         "json_props": q_json_props,
@@ -1001,7 +1033,12 @@ SELECT doc_id, {concat} AS sig FROM sigs
 
 def _lsh_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
     """Banded MinHash-LSH candidate pairs — DuckDB twin of
-    dedup.minhash_lsh_pairs with hash_fn=portable_hash_sliced."""
+    dedup.minhash_lsh_pairs with hash_fn=portable_hash_sliced.
+
+    Bands are STRIDED (band b = hashes {b, b+bands, …}) to mirror the
+    Spark side: each band row then comes from a distinct md5 digest of
+    the sliced family instead of four slices of one digest (round-4
+    advice item 3)."""
     rows = num_hashes // bands
     mins = ",\n    ".join(
         f"min({_sliced_hash_sql(i)}) AS h{i}" for i in range(num_hashes)
@@ -1009,7 +1046,7 @@ def _lsh_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
     band_selects = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band, {bucket} AS bucket FROM sigs".format(
             b=b,
-            bucket=" || ':' || ".join(f"h{b * rows + r}" for r in range(rows)),
+            bucket=" || ':' || ".join(f"h{b + r * bands}" for r in range(rows)),
         )
         for b in range(bands)
     )
@@ -1317,6 +1354,16 @@ SELECT p_partkey,
   CASE WHEN (length(p_name), p_name) > (length(p_type), p_type)
        THEN p_name ELSE p_type END AS better
 FROM part
+""",
+        "permissions_fold": """
+-- every doc of a lang is in the lang-entity's sources, so the folded
+-- permission set is the distinct union of that lang's per-doc tags
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS INT) AS n_sources,
+       array_to_string(list_sort(list(DISTINCT p)), ',') AS permissions
+FROM documents,
+     unnest(['grp_' || (doc_id % 7), 'org_' || (doc_id % 3)]) AS t(p)
+GROUP BY lang
 """,
         "sha_ids": """
 SELECT l_orderkey, l_linenumber,

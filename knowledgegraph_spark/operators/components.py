@@ -199,6 +199,7 @@ def assign_components(
     edges: DataFrame,
     node_col: str = "node",
     max_component_size: int | None = None,
+    nodes_distinct: bool = False,
 ) -> DataFrame:
     """All nodes → component labels; isolated nodes become singletons.
 
@@ -209,12 +210,19 @@ def assign_components(
     Components larger than the cap are DISSOLVED: their members revert to
     singletons (conservative no-merge), and the ``mega`` flag marks them
     for offline review.  None (default) disables.
+
+    ``nodes_distinct``: the caller certifies ``nodes`` is already
+    deduplicated (e.g. the pipeline's materialized surface table), so the
+    full-stream distinct shuffle is skipped — at web scale the mention
+    stream is 5-10× the node set, and this distinct is one of the three
+    passes the pipeline fuses into a single materialized scan.
     """
     asg = connected_components(edges)
+    nd = nodes.select(F.col(node_col).alias("node"))
+    if not nodes_distinct:
+        nd = nd.distinct()
     out = (
-        nodes.select(F.col(node_col).alias("node"))
-        .distinct()
-        .join(asg, "node", "left")
+        nd.join(asg, "node", "left")
         .select(
             "node",
             F.coalesce(F.col("component"), F.col("node")).alias("component"),

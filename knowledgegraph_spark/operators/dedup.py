@@ -160,6 +160,20 @@ def minhash_lsh_pairs(
     ``bands`` bands of ``num_hashes/bands`` rows; docs sharing any band
     bucket become candidates.  Returns distinct (id_a, id_b) candidates —
     feed into ngram_jaccard_pairs or a verify UDF for exact similarity.
+
+    Band composition is STRIDED: band ``b`` takes hashes
+    ``{b, b+bands, b+2·bands, …}`` rather than a contiguous run.  The
+    banding probability model (1-(1-s^r)^b) assumes the rows within a
+    band are independent hash functions; with ``portable_hash_sliced``
+    (seed i = slice i%4 of digest i//4) a CONTIGUOUS band of 4 rows is
+    four slices of the same md5 digest — fully correlated.  Striding puts
+    one slice of a different digest in each band row (e.g. bands=4,
+    rows=4: band b gets slice b of digests 0..3), restoring row
+    independence with zero extra digests (round-4 advice item 3; the
+    index-swap alternative would 4× the digest count of the
+    ``num_hashes=4`` signature path).  For seed-independent families
+    (fast_hash64) any partition of the hashes into bands is equally
+    valid, so the stride is harmless there.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
@@ -167,7 +181,7 @@ def minhash_lsh_pairs(
         F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
-                ":", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ":", *[F.col("sig")[b + r * bands] for r in range(rows_per_band)]
             ).alias("bucket"),
         )
         for b in range(bands)

@@ -275,7 +275,10 @@ def fold_entities(
 
 
 def canonical_mapping(
-    mentions: DataFrame, assignments: DataFrame, canon: DataFrame | None = None
+    mentions: DataFrame,
+    assignments: DataFrame,
+    canon: DataFrame | None = None,
+    surface: DataFrame | None = None,
 ) -> DataFrame:
     """(type, normalized surface name) → canonical entity name.
 
@@ -284,6 +287,13 @@ def canonical_mapping(
 
     ``canon``: optional precomputed (component, canonical) frame — pass
     ``fold_entities`` output to avoid re-aggregating the same fold.
+
+    ``surface``: optional precomputed distinct (node, type, norm_name)
+    frame — the pipeline materializes this ONCE and shares it with the
+    CC node set, so the full mention-stream scan + distinct shuffle here
+    is skipped.  ``node = type|norm_name`` is a bijection, so the joined
+    rows are already distinct per (type, norm_name) and the final
+    dedup shuffle is skipped too.
     """
     if canon is not None:
         canon = canon.select("component", F.col("name").alias("canonical"))
@@ -297,6 +307,13 @@ def canonical_mapping(
                     "canonical"
                 )
             )
+        )
+    if surface is not None:
+        return (
+            surface.select("node", "type", "norm_name")
+            .join(assignments, "node")
+            .join(canon, "component")
+            .select("type", "norm_name", "canonical")
         )
     return (
         with_node(mentions)
@@ -663,27 +680,62 @@ def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     # either side lacks the origin columns (legacy tables).
     for attr in ("worksAt", "title"):
         seen = [f"{attr}Seen{s}" for s in ("Ts", "Url", "Ord")]
-        if not all(c in existing.columns and c in incoming.columns for c in seen):
+        e_has = all(c in existing.columns for c in seen)
+        n_has = all(c in incoming.columns for c in seen)
+        if not (e_has or n_has):
             continue
+        if e_has and n_has:
+            def _pair(side, attr=attr, seen=seen):
+                return F.struct(
+                    F.col(f"{side}.{seen[0]}").alias("ts"),
+                    F.col(f"{side}.{seen[1]}").alias("u"),
+                    F.col(f"{side}.{seen[2]}").alias("i"),
+                    F.col(f"{side}.{attr}").alias("v"),
+                )
 
-        def _pair(side, attr=attr, seen=seen):
-            return F.struct(
-                F.col(f"{side}.{seen[0]}").alias("ts"),
-                F.col(f"{side}.{seen[1]}").alias("u"),
-                F.col(f"{side}.{seen[2]}").alias("i"),
-                F.col(f"{side}.{attr}").alias("v"),
+            best = F.least(
+                F.when(F.col(f"e.{attr}").isNotNull(), _pair("e")),
+                F.when(F.col(f"n.{attr}").isNotNull(), _pair("n")),
             )
+            cols += [
+                best["v"].alias(attr),
+                best["ts"].alias(seen[0]),
+                best["u"].alias(seen[1]),
+                best["i"].alias(seen[2]),
+            ]
+        else:
+            # One side lacks the origin keys (legacy-warehouse upgrade
+            # window).  The value keeps the PRESERVE_EXISTING fallback, but
+            # the emitted Seen* keys must follow the WINNING side — carried
+            # when that side has them, synthesized from its firstSeen*
+            # otherwise.  Passing the one-sided incoming keys through
+            # verbatim (the pre-round-5 behavior) paired the kept existing
+            # value with the LOSING mention's origin key; worse, a null
+            # SeenTs struct sorts FIRST in min, so on the next run the
+            # pseudo-mention re-entered at rank -inf and permanently
+            # outranked every real mention (round-4 advice item 1).
+            def _key(side, i, seen=seen):
+                side_cols = existing.columns if side == "e" else incoming.columns
+                if seen[i] in side_cols:
+                    return F.col(f"{side}.{seen[i]}")
+                fs = ("firstSeenTs", "firstSeenUrl", "firstSeenOrd")[i]
+                if fs in side_cols:
+                    return F.col(f"{side}.{fs}")
+                src = existing if seen[i] in existing.columns else incoming
+                dtype = dict((f.name, f.dataType) for f in src.schema.fields).get(
+                    seen[i]
+                )
+                return F.lit(None).cast(dtype) if dtype is not None else F.lit(None)
 
-        best = F.least(
-            F.when(F.col(f"e.{attr}").isNotNull(), _pair("e")),
-            F.when(F.col(f"n.{attr}").isNotNull(), _pair("n")),
-        )
-        cols += [
-            best["v"].alias(attr),
-            best["ts"].alias(seen[0]),
-            best["u"].alias(seen[1]),
-            best["i"].alias(seen[2]),
-        ]
+            e_wins = F.col(f"e.{attr}").isNotNull()
+            n_wins = ~e_wins & F.col(f"n.{attr}").isNotNull()
+            cols.append(F.coalesce(F.col(f"e.{attr}"), F.col(f"n.{attr}")).alias(attr))
+            for i in range(3):
+                cols.append(
+                    F.when(e_wins, _key("e", i))
+                    .when(n_wins, _key("n", i))
+                    .alias(seen[i])
+                )
         handled |= {attr, *seen}
     for f, strat in strategies.items():
         if f in handled:

@@ -7,13 +7,15 @@ control, UDF signatures, Arrow batch shapes, and the mapInPandas
 streaming contract (never materialize a whole partition of blobs in
 memory).
 
-Decode kernels: UNCOMPRESSED raster formats are decoded for real in pure
-numpy — 24-bit BMP (BITMAPINFOHEADER, no compression) and binary PGM
-(P5) — exercising the full decode → pixel-stats feature path with no
-codec libraries.  Compressed formats (JPEG/PNG/audio/video codecs) have
-no decoder in this container and FALL BACK TO A STUB (deterministic fake
-features, clearly marked); swap ``_decode_image_stub`` for a
-PIL/torchvision kernel on a real cluster — no plan shape changes.
+Decode kernels: raster formats whose compression exists in the stdlib
+are decoded for real — 24-bit BMP (BITMAPINFOHEADER, uncompressed),
+binary PGM (P5), and 8-bit PNG (DEFLATE via stdlib ``zlib`` + numpy
+scanline unfiltering) — exercising the full decode → pixel-stats
+feature path with no codec libraries.  Only transform-coded formats
+(JPEG-class image codecs, audio/video codecs) have no decoder in this
+container and FALL BACK TO A STUB (deterministic fake features, clearly
+marked); swap ``_decode_image_stub`` for a PIL/torchvision kernel on a
+real cluster — no plan shape changes.
 """
 
 from __future__ import annotations
@@ -123,6 +125,96 @@ def decode_pgm(payload: bytes) -> np.ndarray | None:
     return np.repeat(gray.reshape(height, width, 1), 3, axis=2)
 
 
+def decode_png(payload: bytes) -> np.ndarray | None:
+    """Pure-Python/numpy decode of an 8-bit non-interlaced PNG → HxWx3 uint8.
+
+    PNG's only compression is DEFLATE, which is stdlib ``zlib`` — so unlike
+    JPEG this format IS decodable without codec libraries: parse the chunk
+    stream (IHDR → IDAT* → IEND), inflate, then undo the per-scanline
+    filters (None/Sub/Up/Average/Paeth, RFC 2083 §6).  Supports bit depth
+    8 and color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA);
+    gray replicates to RGB and alpha is dropped so downstream features are
+    format-agnostic (same contract as decode_pgm).  Returns None for any
+    other flavor (interlaced, paletted, 16-bit) — caller falls back.
+    """
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, _comp, _filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if (
+        channels is None or bit_depth != 8 or interlace != 0
+        or width <= 0 or height <= 0
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        return None
+    lines = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    filters, data = lines[:, 0], lines[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        f = int(filters[y])
+        cur = data[y].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prior) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-neighbor recurrence
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0  # left (reconstructed)
+                b = prior[x]  # up
+                if f == 1:
+                    rec[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    rec[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0  # up-left
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(height, width, channels)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px.copy()
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()  # RGBA → drop alpha
+
+
 def pixel_features(pixels: np.ndarray) -> np.ndarray:
     """16-dim feature from an HxWx3 uint8 image: per-channel mean/std (6),
     luminance mean/std (2), 8-bin luminance histogram (8) — the
@@ -150,6 +242,8 @@ def _decode_image(payload: bytes | None) -> np.ndarray | None:
     pixels = decode_bmp(payload)
     if pixels is None:
         pixels = decode_pgm(payload)
+    if pixels is None:
+        pixels = decode_png(payload)
     if pixels is not None:
         return pixel_features(pixels)
     return _decode_image_stub(payload)

@@ -116,6 +116,54 @@ def n_planes_for(n_vectors: int, target_bucket: int = 10_000) -> int:
     return max(1, math.ceil(math.log2(n_vectors / target_bucket)))
 
 
+def make_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes — value = f(seed, i, j).
+
+    Stateless splitmix-style integer mixing mapped to [-1, 1): every
+    coordinate is reproducible from (seed, plane, dim index) alone, so
+    driver, executors, tests, and reruns agree with no RNG object.
+    """
+    out = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            z = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9 + j * 0x94D049BB133111EB + 0x2545F4914F6CDD1D) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 30
+            z = (z * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 27
+            z = (z * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            row.append(z / 2**63 - 1.0)
+        out.append(row)
+    return out
+
+
+def derive_planes(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    target_bucket: int = 10_000,
+    seed: int = 0,
+) -> list[list[float]]:
+    """Corpus-sized hyperplanes: count the vectors, size the plane count
+    with ``n_planes_for``, and generate them deterministically.
+
+    This is the library default (``planes=None`` on ``ann_topk_lsh`` /
+    ``embedding_near_dup_pairs``) — callers no longer hard-code a plane
+    count that stops bucketing when the corpus grows 100× (round-4
+    verdict item 5).  Cost: one count + one first() over the corpus —
+    amortize by passing the result to many queries.
+    """
+    row = (
+        vectors.select(
+            F.count("*").alias("n"), F.first(F.size(F.col(vec_col))).alias("d")
+        ).first()
+    )
+    n, d = int(row["n"] or 0), int(row["d"] or 0)
+    if d <= 0:
+        raise ValueError(f"cannot derive planes: no vectors in column {vec_col!r}")
+    return make_planes(n_planes_for(n, target_bucket), d, seed)
+
+
 def hyperplane_signatures(
     vectors: DataFrame,
     planes: list[list[float]],
@@ -156,13 +204,17 @@ def probe_buckets(query_vec: list[float], planes: list[list[float]], probes: int
 def ann_topk_lsh(
     vectors: DataFrame,
     query_vec: list[float],
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     k: int = 10,
     probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ANN top-k: score only the query's LSH bucket(s).
+
+    ``planes=None`` (library default) derives a corpus-sized plane set
+    via ``derive_planes`` — pass an explicit list to pin the bucketing
+    (the oracle-gated entries do, so DuckDB can mirror it).
 
     ``probes`` = number of sign buckets scanned (1 = exact-bucket only;
     each extra probe adds the next-nearest Hamming-1 bucket, recovering
@@ -171,6 +223,8 @@ def ann_topk_lsh(
     filter is a literal IN over ≤ probes values, so the scan stays
     bucket-pruned: cost ∝ sum of probed bucket sizes, not corpus size.
     """
+    if planes is None:
+        planes = derive_planes(vectors, vec_col)
     sigs = hyperplane_signatures(vectors, planes, id_col, vec_col)
     buckets = probe_buckets(query_vec, planes, probes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -184,7 +238,7 @@ def ann_topk_lsh(
 
 def embedding_near_dup_pairs(
     vectors: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -193,7 +247,10 @@ def embedding_near_dup_pairs(
 
     Pairs are only scored within a bucket — the embedding analogue of
     MinHash-LSH dedup.  Exact cosine verifies each candidate.
+    ``planes=None`` derives a corpus-sized plane set (see ann_topk_lsh).
     """
+    if planes is None:
+        planes = derive_planes(vectors, vec_col)
     # norms are precomputed ONCE per vector before the self-join — a
     # vector in a bucket of size k would otherwise have its norm
     # recomputed k-1 times inside the pair-level cosine

@@ -115,6 +115,13 @@ def portable_hash_sliced(col: Column, seed: int = 0) -> Column:
     engines compute identical slices, so the DuckDB oracle stays
     bit-for-bit:  CAST(('0x' || substr(md5('g|' || v), 1+8*j, 8)) AS
     BIGINT).  The scale path remains ``fast_hash64`` (xxhash64).
+
+    Slices of one digest are NOT independent hash functions; consumers
+    that assume row independence across a GROUP of seeds (banded LSH's
+    1-(1-s^r)^b model) must not put seeds 4g..4g+3 in the same group —
+    ``dedup.minhash_lsh_pairs`` strides its bands for exactly this
+    reason.  Plain MinHash sketching (per-seed min) is unaffected: each
+    seed's min is taken independently.
     """
     group, slot = divmod(seed, 4)
     digest = F.md5(F.concat(F.lit(str(group) + "|"), col))

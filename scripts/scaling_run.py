@@ -43,7 +43,14 @@ spark = get_spark("gen", master="local[8]", extra_conf={{"spark.ui.showConsolePr
 # n_pages (as real crawls do), so the link/CC key spaces scale with the
 # corpus instead of pinning at the fixture world's fixed pools (round-3
 # verdict item 1).  KG_SCALE_WORLD=legacy reverts to the fixture world.
-pages_dataframe(spark, int(sys.argv[1]), scaled={scaled}).write.mode("overwrite").parquet(sys.argv[2])
+# 128 output files: parquet SPLITS are gated by row-group boundaries, not
+# spark.sql.files.maxPartitionBytes — an 8-file corpus written with the
+# default 128 MB row groups yields 8 effective splits no matter how small
+# maxPartitionBytes is set (each nominal split only reads row groups whose
+# midpoint falls inside it).  That made the round-4 "16 MB split" protocol
+# fix a NO-OP: the hi leg still ran one 8-task wave per map stage.  128
+# files × ~3 MB × one row group each give both legs real wave smoothing.
+pages_dataframe(spark, int(sys.argv[1]), scaled={scaled}).repartition(128).write.mode("overwrite").parquet(sys.argv[2])
 spark.stop()
 """
 
@@ -87,6 +94,10 @@ if ldir:
 # the job.  (This is the spark.sql.files.maxPartitionBytes sizing rule
 # any real deployment applies.)
 conf["spark.sql.files.maxPartitionBytes"] = os.environ.get("KG_SCALE_SPLIT_MB", "16") + "m"
+# ...and the same rule for files WE write: splits can't cross row-group
+# boundaries, so stage tables written with the default 128 MB row groups
+# would re-coarsen downstream scans regardless of maxPartitionBytes.
+conf["spark.hadoop.parquet.block.size"] = str(16 * 1024 * 1024)
 spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
                   extra_conf=conf)
 pages = spark.read.parquet(path)
@@ -189,7 +200,10 @@ def main():
     # are different data.
     reuse = os.environ.get("KG_SCALE_PAGES_DIR")
     tmp = tempfile.mkdtemp(prefix="kg_scale_")
-    stem = f"pages_{n_pages}_sw" if scaled else f"pages_{n_pages}"
+    # "swf": scaled world, FINE layout (128 files / small row groups —
+    # see GEN).  Distinct stem from the round-4 "_sw" cache: same rows,
+    # different physical layout, and the layout is part of the protocol.
+    stem = f"pages_{n_pages}_swf" if scaled else f"pages_{n_pages}"
     pages_path = os.path.join(reuse, stem) if reuse else os.path.join(tmp, "pages")
     try:
         if not os.path.isdir(pages_path):
