@@ -35,7 +35,10 @@ sys.path.insert(0, {repo!r})
 from knowledgegraph_spark import get_spark
 from knowledgegraph_spark.corpus import pages_dataframe
 spark = get_spark("gen", master="local[8]", extra_conf={{"spark.ui.showConsoleProgress": "false"}})
-pages_dataframe(spark, int(sys.argv[1]), scaled={scaled}).write.mode("overwrite").parquet(sys.argv[2])
+# 128 fine files — parquet splits are gated by row-group boundaries, so
+# a coarse 8-file corpus pins map parallelism at 8 regardless of
+# maxPartitionBytes (see scaling_run.py GEN)
+pages_dataframe(spark, int(sys.argv[1]), scaled={scaled}).repartition(128).write.mode("overwrite").parquet(sys.argv[2])
 spark.stop()
 """
 
@@ -60,6 +63,14 @@ if mpc and int(mpc) > 0:
 # fine-grained splits — see scaling_run.py (8-file inputs would pin map
 # parallelism at 8 and make every stage straggler-gated on the hi leg)
 conf["spark.sql.files.maxPartitionBytes"] = os.environ.get("KG_SCALE_SPLIT_MB", "16") + "m"
+# ...and the same rule for stage tables WE write (splits can't cross
+# row-group boundaries — scaling_run.py)
+conf["spark.hadoop.parquet.block.size"] = str(16 * 1024 * 1024)
+# tmpfs local dir (shuffle + stage parquet): holds per-core IO constant
+# across legs on this single-disk box (scaling_run.py KG_SCALE_TMPFS)
+ldir = os.environ.get("KG_SCALE_LOCAL_DIR")
+if ldir:
+    conf["spark.local.dir"] = ldir
 spark = get_spark("profile", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
                   extra_conf=conf)
 pages = spark.read.parquet(path)
@@ -67,7 +78,7 @@ extract_mentions_and_triples(with_extracted_text(pages.limit(256))).count()  # w
 from pyspark.sql import functions as F
 pages.agg(F.sum(F.length("html")), F.sum(F.length("text"))).collect()  # warm page cache
 
-tmp = tempfile.mkdtemp(prefix="kg_prof_")
+tmp = tempfile.mkdtemp(prefix="kg_prof_", dir=ldir or None)
 t = {{}}
 
 t0 = time.time()
@@ -86,9 +97,17 @@ edges.write.mode("overwrite").parquet(f"{{tmp}}/edges")
 t["link"] = time.time() - t0
 
 edges = spark.read.parquet(f"{{tmp}}/edges")
-nodes = with_node(mentions).select("node")
+# fused-surface posture (plans/pipeline.py): ONE mention-stream distinct
+# yields (node, type, norm_name), shared by the CC node set and the
+# canonical mapping — the cc timing covers building it, the fold_t
+# timing gets it for free, exactly as the pipeline runs.
 t0 = time.time()
-assignments = assign_components(nodes, edges)
+surface = (with_node(mentions)
+           .select("node", "type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
+           .distinct())
+surface.write.mode("overwrite").parquet(f"{{tmp}}/surface")
+surface = spark.read.parquet(f"{{tmp}}/surface")
+assignments = assign_components(surface.select("node"), edges, nodes_distinct=True)
 assignments.write.mode("overwrite").parquet(f"{{tmp}}/asg")
 t["cc"] = time.time() - t0
 
@@ -105,7 +124,7 @@ t["fold_e"] = time.time() - t0
 
 ents = spark.read.parquet(f"{{tmp}}/ents")
 t0 = time.time()
-mapping = canonical_mapping(mentions, assignments, canon=ents).localCheckpoint(eager=True)
+mapping = canonical_mapping(mentions, assignments, canon=ents, surface=surface).localCheckpoint(eager=True)
 n = resolve_and_fold_triples(raw_triples, mapping, provenance_cap=64, n_salts=n_salts).count()
 t["fold_t"] = time.time() - t0
 
@@ -123,7 +142,8 @@ def main():
 
     reuse = os.environ.get("KG_SCALE_PAGES_DIR")
     tmp = tempfile.mkdtemp(prefix="kg_profpages_")
-    stem = f"pages_{n_pages}_sw" if scaled else f"pages_{n_pages}"
+    # _swf = scaled world, fine 128-file layout (shared with scaling_run)
+    stem = f"pages_{n_pages}_swf" if scaled else f"pages_{n_pages}"
     pages = os.path.join(reuse, stem) if reuse else os.path.join(tmp, "pages")
     try:
         if not os.path.isdir(pages):
@@ -139,8 +159,17 @@ def main():
                 "taskset", "-c", f"{n_host - cpus}-{n_host - 1}",
                 sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), pages,
             ]
-            out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
-                                 timeout=int(os.environ.get("KG_SCALE_TIMEOUT", "5400")))
+            env = dict(os.environ)
+            ldir = None
+            if os.environ.get("KG_SCALE_TMPFS", "1") != "0" and os.path.isdir("/dev/shm"):
+                ldir = tempfile.mkdtemp(prefix=f"kg_prof_local_{cpus}_", dir="/dev/shm")
+                env["KG_SCALE_LOCAL_DIR"] = ldir
+            try:
+                out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, env=env,
+                                     timeout=int(os.environ.get("KG_SCALE_TIMEOUT", "5400")))
+            finally:
+                if ldir:
+                    shutil.rmtree(ldir, ignore_errors=True)
             lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
             if not lines:
                 raise RuntimeError(out.stderr[-2000:])

@@ -50,7 +50,7 @@ spark = get_spark("gen", master="local[8]", extra_conf={{"spark.ui.showConsolePr
 # midpoint falls inside it).  That made the round-4 "16 MB split" protocol
 # fix a NO-OP: the hi leg still ran one 8-task wave per map stage.  128
 # files × ~3 MB × one row group each give both legs real wave smoothing.
-pages_dataframe(spark, int(sys.argv[1]), scaled={scaled}).repartition(128).write.mode("overwrite").parquet(sys.argv[2])
+pages_dataframe(spark, int(sys.argv[1]), scaled={scaled}).repartition({files}).write.mode("overwrite").parquet(sys.argv[2])
 spark.stop()
 """
 
@@ -97,7 +97,8 @@ conf["spark.sql.files.maxPartitionBytes"] = os.environ.get("KG_SCALE_SPLIT_MB", 
 # ...and the same rule for files WE write: splits can't cross row-group
 # boundaries, so stage tables written with the default 128 MB row groups
 # would re-coarsen downstream scans regardless of maxPartitionBytes.
-conf["spark.hadoop.parquet.block.size"] = str(16 * 1024 * 1024)
+conf["spark.hadoop.parquet.block.size"] = str(
+    int(os.environ.get("KG_SCALE_BLOCK_MB", "16")) * 1024 * 1024)
 spark = get_spark("scale", master=f"local[{{cpus}}]", shuffle_partitions=cpus * 4,
                   extra_conf=conf)
 pages = spark.read.parquet(path)
@@ -200,15 +201,23 @@ def main():
     # are different data.
     reuse = os.environ.get("KG_SCALE_PAGES_DIR")
     tmp = tempfile.mkdtemp(prefix="kg_scale_")
-    # "swf": scaled world, FINE layout (128 files / small row groups —
-    # see GEN).  Distinct stem from the round-4 "_sw" cache: same rows,
-    # different physical layout, and the layout is part of the protocol.
-    stem = f"pages_{n_pages}_swf" if scaled else f"pages_{n_pages}"
+    # "swf": scaled world, FINE layout (KG_SCALE_FILES output files — see
+    # GEN; default 128).  Distinct stem from the round-4 "_sw" cache:
+    # same rows, different physical layout, and the layout is part of
+    # the protocol.  Task-granularity rule: aim for ~4 waves on the hi
+    # leg (files ≈ 4 × hi_cpus); too-fine splits trade straggler
+    # smoothing for per-task overhead (128 × ~3 MB tasks measurably
+    # slowed BOTH legs ~5% vs the 8-file layout at 2M pages).
+    files = int(os.environ.get("KG_SCALE_FILES", "128"))
+    if scaled:
+        stem = f"pages_{n_pages}_swf" if files == 128 else f"pages_{n_pages}_swf{files}"
+    else:
+        stem = f"pages_{n_pages}"
     pages_path = os.path.join(reuse, stem) if reuse else os.path.join(tmp, "pages")
     try:
         if not os.path.isdir(pages_path):
             subprocess.run(
-                [sys.executable, "-c", GEN.format(repo=REPO, scaled=scaled),
+                [sys.executable, "-c", GEN.format(repo=REPO, scaled=scaled, files=files),
                  str(n_pages), pages_path],
                 check=True, cwd=REPO, timeout=7200, capture_output=True, text=True,
             )
