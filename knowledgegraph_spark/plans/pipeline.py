@@ -37,6 +37,7 @@ from knowledgegraph_spark.operators.linking import (
     dict_match_edges,
     match_edges,
     mention_match_keys,
+    node_key,
     with_node,
 )
 from knowledgegraph_spark.operators.merge import (
@@ -239,10 +240,17 @@ def build_kg(
     # the node set).  At 2M scaled-world pages this removes one 15.4M-row
     # scan and two 2.4M-key shuffles from the cc/fold_t stages — the
     # measured core-count-independent component (round-4 verdict item 1).
+    # distinct on (type, norm_name) ONLY — node = type|norm_name is
+    # derived after the shuffle (node_key is idempotent over a
+    # normalized name), so the full-stream exchange ships two short
+    # columns instead of three (the node string duplicates the bytes of
+    # both others — this roughly halves the surface shuffle, the largest
+    # single exchange in the cc stage's bandwidth-bound profile).
     surface = (
-        with_node(mentions)
-        .select("node", "type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
+        mentions
+        .select("type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
         .distinct()
+        .withColumn("node", node_key(F.col("type"), F.col("norm_name")))
     )
     surface = _materialize(surface, "surface")
     assignments = assign_components(
@@ -413,10 +421,13 @@ def run_pipeline(
 
     # shared surface scan (see build_kg): one mention-stream distinct feeds
     # both the CC node set and the canonical mapping
+    # distinct on (type, norm_name) only; node derived post-shuffle
+    # (see build_kg — halves the surface exchange's bytes)
     surface = (
-        with_node(mentions)
-        .select("node", "type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
+        mentions
+        .select("type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
         .distinct()
+        .withColumn("node", node_key(F.col("type"), F.col("norm_name")))
         .localCheckpoint(eager=True)
     )
     assignments = assign_components(

@@ -102,9 +102,11 @@ edges = spark.read.parquet(f"{{tmp}}/edges")
 # canonical mapping — the cc timing covers building it, the fold_t
 # timing gets it for free, exactly as the pipeline runs.
 t0 = time.time()
-surface = (with_node(mentions)
-           .select("node", "type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
-           .distinct())
+from knowledgegraph_spark.operators.linking import node_key
+surface = (mentions
+           .select("type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
+           .distinct()
+           .withColumn("node", node_key(F.col("type"), F.col("norm_name"))))
 surface.write.mode("overwrite").parquet(f"{{tmp}}/surface")
 surface = spark.read.parquet(f"{{tmp}}/surface")
 assignments = assign_components(surface.select("node"), edges, nodes_distinct=True)
