@@ -123,6 +123,15 @@ def connected_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    # Checkpoint the INPUT edge set before iterating: ``_large_star``
+    # references ``e`` twice (union with its swap) and the caller's edge
+    # plan is typically an uncached multi-shuffle chain (match-key explode
+    # → distinct → hub join), so round 0 would recompute that whole chain
+    # per reference — measured as the dominant cc-stage cost at bench
+    # scale (edge chain ~20 s, every subsequent round <1 s).  Same
+    # truncation the per-round checkpoint already does, applied one round
+    # earlier; lazy, so it materializes with round 0's first action.
+    e = checkpointer(e)
 
     mapping = None
     if compress_ids:

@@ -63,7 +63,9 @@ def shingle_array(text_col: Column, n: int = 3) -> Column:
     toks = tokens(normalized_text(text_col))
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.filter(F.array_distinct(sh), lambda s: s != "")
+    # array_remove, not a lambda filter: ArrayFilter's per-element lambda
+    # binding is ~4-14× slower interpreted (see textstats.tokens)
+    return F.array_remove(F.array_distinct(sh), "")
 
 
 def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

@@ -98,9 +98,16 @@ def mention_match_keys(mentions: DataFrame) -> DataFrame:
                     ),
                 )
             )
-    keys = F.filter(F.array(*rule_structs), lambda s: s.isNotNull())
+    # Explode the raw rule array and drop null hits AFTER the explode: the
+    # former ``explode(F.filter(array, isNotNull))`` paid the ArrayFilter
+    # higher-order function's per-element lambda binding in interpreted
+    # mode — measured 10.8 s vs 0.75 s for explode+Filter over the same
+    # 50k-page mention stream (both Generate and Filter are codegen'd;
+    # the null structs cost one extra exploded row each, which the
+    # codegen'd filter discards for free).
     return (
-        m.select("node", F.explode(keys).alias("k"))
+        m.select("node", F.explode(F.array(*rule_structs)).alias("k"))
+        .filter(F.col("k").isNotNull())
         .select(
             "node",
             F.col("k.match_key").alias("match_key"),

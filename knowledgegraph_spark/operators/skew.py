@@ -59,8 +59,6 @@ def pick_n_salts(
     it over an already-materialized stage so the probe costs ~a narrow
     scan, not a recompute.  ``key_cols`` accepts names or Columns.
     """
-    import math
-
     s = df.sample(fraction=sample_frac, seed=seed) if sample_frac < 1.0 else df
     row = (
         s.groupBy(*key_cols)
@@ -70,9 +68,37 @@ def pick_n_salts(
     )
     mx = int(row["mx"] or 0)
     est = mx / sample_frac if sample_frac > 0 else mx
-    if est < min_rows_to_salt:
+    return n_salts_for_max_rows(
+        est,
+        target_rows_per_task=target_rows_per_task,
+        min_rows_to_salt=min_rows_to_salt,
+        max_salts=max_salts,
+    )
+
+
+def n_salts_for_max_rows(
+    est_max_rows_per_key: float,
+    target_rows_per_task: int = 500_000,
+    min_rows_to_salt: int = 2_000_000,
+    max_salts: int = 64,
+) -> int:
+    """The ``pick_n_salts`` decision rule on an already-known head-key size.
+
+    Callers that compute per-key counts as part of an existing aggregation
+    (the pipeline's surface table carries them for free — the surface
+    groupBy ships the same bytes as the old distinct) use this directly
+    and skip the probe's dedicated scan+shuffle entirely.
+    """
+    import math
+
+    if est_max_rows_per_key < min_rows_to_salt:
         return 0
-    return int(min(max_salts, 2 ** math.ceil(math.log2(max(est / target_rows_per_task, 2.0)))))
+    return int(
+        min(
+            max_salts,
+            2 ** math.ceil(math.log2(max(est_max_rows_per_key / target_rows_per_task, 2.0))),
+        )
+    )
 
 
 def salted_agg(

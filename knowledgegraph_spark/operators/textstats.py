@@ -25,8 +25,15 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens (empty strings filtered)."""
-    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+    """Whitespace tokens (empty strings filtered).
+
+    ``array_remove(split(...), '')`` rather than a lambda ``F.filter``:
+    the ArrayFilter higher-order function binds its lambda variable per
+    element in interpreted mode, measured ~14× slower than non-lambda
+    collection expressions on this hot path (guide §1 empirical loop;
+    identical output — split yields no nulls, so removing '' is exactly
+    the old predicate)."""
+    return F.array_remove(F.split(col, r"\s+"), "")
 
 
 def token_count(col: Column) -> Column:

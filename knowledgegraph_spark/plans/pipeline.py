@@ -218,41 +218,57 @@ def build_kg(
             _existing_as_mentions(existing_entities), allowMissingColumns=True
         )
 
-    if n_salts == "auto":
-        # probe only when the extraction stage is materialized (the probe
-        # re-reads it); in pure-plan mode fall back to the fixed guard
-        n_salts = (
-            _auto_salts(mentions, capped=provenance_cap is not None)
-            if (persist or stage_path)
-            else 8
-        )
-
-    keys = mention_match_keys(mentions)
-    edges = match_edges(keys)
-    if existing_entities is not None:
-        alias_dict = build_alias_dict(existing_entities)
-        edges = edges.unionByName(dict_match_edges(keys, alias_dict))
-
-    # ONE distinct pass over the mention stream yields the surface table
+    # ONE pass over the mention stream yields the surface table
     # (node, type, norm_name) shared by the CC node set AND the canonical
     # mapping — previously two independent full-stream scans + distinct
     # shuffles (node = type|norm_name is a bijection, so per-node rows ARE
     # the node set).  At 2M scaled-world pages this removes one 15.4M-row
     # scan and two 2.4M-key shuffles from the cc/fold_t stages — the
     # measured core-count-independent component (round-4 verdict item 1).
-    # distinct on (type, norm_name) ONLY — node = type|norm_name is
+    # Grouped on (type, norm_name) ONLY — node = type|norm_name is
     # derived after the shuffle (node_key is idempotent over a
     # normalized name), so the full-stream exchange ships two short
     # columns instead of three (the node string duplicates the bytes of
     # both others — this roughly halves the surface shuffle, the largest
     # single exchange in the cc stage's bandwidth-bound profile).
+    # Round 6: the former ``.distinct()`` is a groupBy carrying a per-node
+    # mention count — same shuffle keys and bytes (+8-byte partial count),
+    # and the adaptive-salt head-key probe then reads its answer from the
+    # materialized surface instead of running a dedicated full-stream
+    # sample+aggregate pass (one ≤|surface|-row agg replaces the probe's
+    # extra mention-stream scan + shuffle — guide §2.3 "aggregate before
+    # you shuffle" applied to the probe itself).
     surface = (
         mentions
         .select("type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
-        .distinct()
+        .groupBy("type", "norm_name")
+        .agg(F.count("*").alias("n_mentions"))
         .withColumn("node", node_key(F.col("type"), F.col("norm_name")))
     )
     surface = _materialize(surface, "surface")
+
+    if n_salts == "auto":
+        if persist or stage_path:
+            # exact head-key size for free from the surface counts; same
+            # thresholds as the old sampled probe (skew.pick_n_salts)
+            from knowledgegraph_spark.operators.skew import n_salts_for_max_rows
+
+            mx = surface.agg(F.max("n_mentions").alias("mx")).collect()[0]["mx"]
+            kw = (
+                {"min_rows_to_salt": 500_000, "target_rows_per_task": 250_000}
+                if provenance_cap is not None
+                else {}
+            )
+            n_salts = n_salts_for_max_rows(int(mx or 0), **kw)
+        else:
+            # pure-plan mode: nothing is materialized to probe cheaply
+            n_salts = 8
+
+    keys = mention_match_keys(mentions)
+    edges = match_edges(keys)
+    if existing_entities is not None:
+        alias_dict = build_alias_dict(existing_entities)
+        edges = edges.unionByName(dict_match_edges(keys, alias_dict))
     assignments = assign_components(
         surface.select("node"), edges,
         max_component_size=max_component_size, nodes_distinct=True,
@@ -400,36 +416,38 @@ def run_pipeline(
             _existing_as_mentions(existing), allowMissingColumns=True
         )
 
-    if n_salts == "auto":
-        from knowledgegraph_spark.operators.skew import pick_n_salts
+    # shared surface scan (see build_kg): one mention-stream pass feeds
+    # the CC node set, the canonical mapping, AND the head-key salt probe.
+    # Grouped on (type, norm_name) only; node derived post-shuffle
+    # (see build_kg — halves the surface exchange's bytes); the per-node
+    # mention count rides the same shuffle for free.
+    surface = (
+        mentions
+        .select("type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
+        .groupBy("type", "norm_name")
+        .agg(F.count("*").alias("n_mentions"))
+        .withColumn("node", node_key(F.col("type"), F.col("norm_name")))
+        .localCheckpoint(eager=True)
+    )
 
-        n_mentions = int(kind_counts.get("mention", 0))
-        frac = min(1.0, 500_000 / max(n_mentions, 1))
+    if n_salts == "auto":
+        # exact head-key size from the materialized surface counts — the
+        # former dedicated sample+aggregate probe pass is gone (build_kg
+        # has the same structure; thresholds unchanged)
+        from knowledgegraph_spark.operators.skew import n_salts_for_max_rows
+
+        mx = surface.agg(F.max("n_mentions").alias("mx")).collect()[0]["mx"]
         kw = (
             {"min_rows_to_salt": 500_000, "target_rows_per_task": 250_000}
             if provenance_cap is not None
             else {}
         )
-        n_salts = pick_n_salts(
-            with_node(mentions).select("node"), ["node"], sample_frac=frac, **kw
-        )
+        n_salts = n_salts_for_max_rows(int(mx or 0), **kw)
 
     keys = mention_match_keys(mentions)
     edges = match_edges(keys)
     if existing is not None:
         edges = edges.unionByName(dict_match_edges(keys, build_alias_dict(existing)))
-
-    # shared surface scan (see build_kg): one mention-stream distinct feeds
-    # both the CC node set and the canonical mapping
-    # distinct on (type, norm_name) only; node derived post-shuffle
-    # (see build_kg — halves the surface exchange's bytes)
-    surface = (
-        mentions
-        .select("type", F.lower(F.trim(F.col("name"))).alias("norm_name"))
-        .distinct()
-        .withColumn("node", node_key(F.col("type"), F.col("norm_name")))
-        .localCheckpoint(eager=True)
-    )
     assignments = assign_components(
         surface.select("node"), edges,
         max_component_size=max_component_size, nodes_distinct=True,
