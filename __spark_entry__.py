@@ -35,13 +35,18 @@ def _read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     The sf parquet fixtures are single row groups (584 KB documents at
     sf0.1), so every scan is one task and the expensive per-row work
-    (shingle hashing, extraction UDF, pair cosine) ran on 1 of N cores —
-    measured as the dominant cost of the dedup/similarity headliners
-    (guide §2.2/§6: scan parallelism).  A round-robin repartition of a
-    sub-64 MB input is one tiny exchange; larger inputs (a bigger driver
-    SF, or production tables) already split at the file source and are
-    left untouched, so the decision is scale-adaptive, not tuned to
-    local[32].
+    (shingle hashing, pair cosine) ran on 1 of N cores — measured as the
+    dominant cost of the dedup/similarity headliners (guide §2.2/§6: scan
+    parallelism; minhash_sigs 4.9 s → 0.9 s, near_dup_lsh 5.3 s → 1.0 s).
+    A round-robin repartition of a sub-64 MB input is one tiny exchange;
+    larger inputs (a bigger driver SF, or production tables) already split
+    at the file source and are left untouched, so the decision is
+    scale-adaptive, not tuned to local[32].
+
+    Only the compute-per-row-heavy queries opt in: for cheap scans feeding
+    one aggregation (entity_fold, relation_group, label_centroids, ...)
+    the extra exchange is pure overhead — measured +0.25-0.5 s each — so
+    those keep the plain single-task scan.
     """
     path = f"{sf_dir}/{table}.parquet"
     df = spark.read.parquet(path)
@@ -61,16 +66,20 @@ def _read_spread(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read_spread(spark, sf_dir, "documents")
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    if spread:
+        return _read_spread(spark, sf_dir, "documents")
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read_spread(spark, sf_dir, "events")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read_spread(spark, sf_dir, "embeddings")
+def _emb(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
+    if spread:
+        return _read_spread(spark, sf_dir, "embeddings")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -353,7 +362,7 @@ def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledgegraph_spark.operators.textstats import portable_hash_sliced
 
     sig = minhash_signatures(
-        _docs(spark, sf_dir), num_hashes=4, hash_fn=portable_hash_sliced
+        _docs(spark, sf_dir, spread=True), num_hashes=4, hash_fn=portable_hash_sliced
     )
     return sig.select(
         F.col("id").alias("doc_id"), F.concat_ws(",", F.col("sig")).alias("sig")
@@ -366,7 +375,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out); the oracle mirrors the cap as a HAVING clause."""
     from knowledgegraph_spark.operators.dedup import ngram_jaccard_pairs
 
-    sub = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+    sub = _docs(spark, sf_dir, spread=True).filter(F.col("doc_id") % 20 == 0)
     p = ngram_jaccard_pairs(sub, threshold=0.01, max_shingle_df=2)
     return p.select(
         "id_a", "id_b", "inter", "sz_a", "sz_b", F.round("jaccard", 4).alias("jaccard")
@@ -393,7 +402,7 @@ def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledgegraph_spark.operators.dedup import minhash_signatures, shingle_array
     from knowledgegraph_spark.operators.textstats import fast_hash64
 
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir, spread=True)
     num_hashes = 16
     sig = minhash_signatures(d, num_hashes=num_hashes, hash_fn=fast_hash64)
 
@@ -441,7 +450,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledgegraph_spark.operators.textstats import portable_hash_sliced
 
     return minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=16, bands=4, hash_fn=portable_hash_sliced
+        _docs(spark, sf_dir, spread=True), num_hashes=16, bands=4, hash_fn=portable_hash_sliced
     )
 
 
@@ -579,7 +588,7 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py — LSH itself is not SQL-expressible)."""
     from knowledgegraph_spark.operators.similarity import cosine
 
-    e = _emb(spark, sf_dir).withColumn("v", F.col("embedding").cast("array<double>"))
+    e = _emb(spark, sf_dir, spread=True).withColumn("v", F.col("embedding").cast("array<double>"))
     a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     return (
@@ -610,7 +619,7 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the verdict is hash-checked end to end."""
     from knowledgegraph_spark.operators.similarity import embedding_near_dup_pairs
 
-    e = _emb(spark, sf_dir).withColumn("v", F.col("embedding").cast("array<double>"))
+    e = _emb(spark, sf_dir, spread=True).withColumn("v", F.col("embedding").cast("array<double>"))
     p = embedding_near_dup_pairs(
         e.select("vec_id", "v"), _nd_planes(), threshold=0.4, vec_col="v"
     )
@@ -707,8 +716,8 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1: processed-exclusion as a left-anti join (users with errors are
     'already processed'; keep the rest)."""
-    o = _read_spread(spark, sf_dir, "orders")
-    li = _read_spread(spark, sf_dir, "lineitem")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     processed = li.filter(F.col("l_quantity") >= 48).select("l_orderkey").distinct()
     return o.join(
         processed, o.o_orderkey == processed.l_orderkey, "left_anti"
@@ -717,8 +726,8 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/J8: endpoint-existence validation as a left-semi join."""
-    o = _read_spread(spark, sf_dir, "orders")
-    li = _read_spread(spark, sf_dir, "lineitem")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     big = li.filter(F.col("l_quantity") >= 45).select("l_orderkey").distinct()
     return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
         "o_orderkey", "o_totalprice"
@@ -738,7 +747,7 @@ def q_entity_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_relation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: relation grouping — max strength + distinct sources."""
-    li = _read_spread(spark, sf_dir, "lineitem")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.groupBy("l_suppkey", "l_partkey").agg(
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.countDistinct("l_orderkey").alias("n_orders"),
@@ -759,7 +768,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/J1: star join over the dimension chain orders→customer→nation→
     region with broadcast dims — revenue per (region, nation)."""
-    o = _read_spread(spark, sf_dir, "orders")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     r = spark.read.parquet(f"{sf_dir}/region.parquet")
@@ -844,7 +853,7 @@ def q_permissions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sha_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar: systematic sha256 relation ids."""
-    li = _read_spread(spark, sf_dir, "lineitem")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return li.select(
         "l_orderkey",
         "l_linenumber",
