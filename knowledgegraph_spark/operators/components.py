@@ -156,7 +156,17 @@ def connected_components(
                 .select(F.col("s_id").alias("src"), F.col("d_id").alias("dst"))
             )
 
-    prev_fp = None
+    # Fingerprint the INPUT edge set so the loop can stop after the first
+    # round when that round was a no-op.  ``match_edges`` emits canonical
+    # hub-stars (every edge already member→min-of-key-group), so whenever
+    # no node belongs to two overlapping stars the very first
+    # large★/small★ round reproduces its input and the old loop's second
+    # "confirm" round (~7 small jobs) bought nothing.  The test is the
+    # SAME set-fingerprint equality the loop already uses for
+    # convergence, applied one round earlier; graphs that do change in
+    # round 0 take the normal path.  Costs one small aggregation, which
+    # also materializes the lazy input checkpoint.
+    prev_fp = _fingerprint(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e))
         e = checkpointer(e)
