@@ -32,6 +32,17 @@ def get_spark(
     master = master or os.environ.get("KG_SPARK_MASTER", f"local[{cpus}]")
     nshuf = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
 
+    # Python workers must be able to import this package (the daemon
+    # module below lives in it).  The driver resolves it via sys.path
+    # (script-dir rule), but worker processes only see $PYTHONPATH — pin
+    # the package root there explicitly so launch cwd cannot matter.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in env_pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{env_pp}" if env_pp else pkg_root
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -51,6 +62,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # quiet_daemon = pyspark.daemon + a catch for the benign EPIPE
+        # shutdown race whose traceback otherwise pollutes archived bench
+        # logs (see knowledgegraph_spark/quiet_daemon.py)
+        .config("spark.python.daemon.module", "knowledgegraph_spark.quiet_daemon")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     if extra_conf:
         for k, v in extra_conf.items():
