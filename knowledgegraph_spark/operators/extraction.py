@@ -344,6 +344,55 @@ def extract_mentions_and_triples(
     return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
 
 
+def extract_pages(
+    pages: DataFrame, max_text_bytes: int = MAX_TEXT_BYTES
+) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) → unified extracted rows,
+    html→text and mention/triple extraction fused into ONE Python crossing.
+
+    ``with_extracted_text`` + ``extract_mentions_and_triples`` are two
+    back-to-back Python eval nodes, so the full text column is serialized
+    JVM→Python→JVM twice (guide §4: you cannot remove the boundary, but
+    you control how often the bytes cross it).  This operator runs the
+    exact same two pure-Python kernels (``html_text.extract_text_py``
+    then ``extract_page_py``) inside one ``mapInPandas``, halving the
+    Arrow traffic for the widest column in the pipeline.  Semantics are
+    identical by construction: the lang filter still reaches the scan,
+    ``extract_text_py`` runs OUTSIDE the quarantine try (an html-stage
+    failure kills the task exactly as the separate UDF did), and
+    per-page extraction failures quarantine as kind='error'.
+    """
+    from knowledgegraph_spark.operators.html_text import extract_text_py
+
+    src = (
+        pages
+        .filter(F.col("lang") == "en")
+        .select("url", "warc_ts", "html", "text")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EXTRACTED_SCHEMA.fields]
+        for pdf in batches:
+            out: list[dict] = []
+            for url, ts, html, pre_text in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], pdf["text"]
+            ):
+                text = extract_text_py(html, pre_text)
+                try:
+                    out.extend(extract_page_py(url, ts, text, max_text_bytes))
+                except Exception as exc:  # noqa: BLE001 — quarantine, never die
+                    out.append(
+                        {
+                            "url": url, "warc_ts": ts, "kind": "error",
+                            "ord": None, **_NULL_MENTION, **_NULL_TRIPLE,
+                            "description": f"{type(exc).__name__}: {exc}"[:500],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return src.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+
+
 def mentions_of(extracted: DataFrame) -> DataFrame:
     """Mention rows with a stable mention_id and pruned columns."""
     return (

@@ -27,11 +27,10 @@ from knowledgegraph_spark.operators.components import assign_components
 from knowledgegraph_spark.operators.extraction import (
     MAX_TEXT_BYTES,
     errors_of,
-    extract_mentions_and_triples,
+    extract_pages,
     mentions_of,
     triples_of,
 )
-from knowledgegraph_spark.operators.html_text import with_extracted_text
 from knowledgegraph_spark.operators.linking import (
     build_alias_dict,
     dict_match_edges,
@@ -206,8 +205,9 @@ def build_kg(
             return df.persist()
         return df
 
-    pt = with_extracted_text(pages)
-    ext = extract_mentions_and_triples(pt)
+    # fused html→text + extraction: one Python crossing (guide §4),
+    # identical kernels and semantics (operators.extraction.extract_pages)
+    ext = extract_pages(pages)
     ext = _materialize(ext, "extracted")
 
     mentions = mentions_of(ext)
@@ -378,8 +378,8 @@ def run_pipeline(
 
     # Stage 1+2: text + extraction, materialized once (UDF runs once even
     # though two downstream branches consume it).
-    pt = with_extracted_text(todo)
-    ext = extract_mentions_and_triples(pt, max_text_bytes=max_text_bytes)
+    # fused html→text + extraction: one Python crossing (guide §4)
+    ext = extract_pages(todo, max_text_bytes=max_text_bytes)
     cat.write(ext, "stage_extracted")
     ext = cat.read("stage_extracted")
 
