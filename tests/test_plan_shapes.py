@@ -26,6 +26,21 @@ def test_lang_filter_pushed_to_scan(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
 
 
+def test_fused_extract_single_python_crossing_and_pushdown(spark, tmp_path):
+    """extract_pages (round-6 fusion) must keep the lang predicate at the
+    file scan AND present exactly one Python eval node — the fusion's
+    whole point is removing the second JVM↔Python crossing."""
+    from knowledgegraph_spark.corpus import pages_dataframe
+    from knowledgegraph_spark.operators.extraction import extract_pages
+
+    p = str(tmp_path / "pages_fused")
+    pages_dataframe(spark, 50).write.parquet(p)
+    plan = _plan(extract_pages(spark.read.parquet(p)))
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    n_python_nodes = sum(plan.count(k) for k in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"))
+    assert n_python_nodes == 1, plan
+
+
 def test_alias_dict_join_is_broadcast(spark):
     from knowledgegraph_spark.operators.linking import (
         build_alias_dict,
