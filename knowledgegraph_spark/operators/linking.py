@@ -55,7 +55,13 @@ def _norm(col):
 
 
 def node_key(type_col, name_col):
-    """Stable node id for the match graph: ``type|normalized_name``."""
+    """Stable node id for the match graph: ``type|normalized_name``.
+
+    Injectivity invariant: the pipeline's fused surface table relies on
+    (type, norm_name) ↔ node being a bijection, which holds because
+    extractor type values are a closed vocabulary containing no ``|``
+    (gated by tests/test_round6.py::test_node_key_type_vocabulary_has_no_separator;
+    round-5 advice item 1)."""
     return F.concat_ws("|", type_col, _norm(name_col))
 
 

@@ -727,9 +727,25 @@ def upsert_entities(existing: DataFrame, incoming: DataFrame) -> DataFrame:
                 )
                 return F.lit(None).cast(dtype) if dtype is not None else F.lit(None)
 
-            e_wins = F.col(f"e.{attr}").isNotNull()
-            n_wins = ~e_wins & F.col(f"n.{attr}").isNotNull()
-            cols.append(F.coalesce(F.col(f"e.{attr}"), F.col(f"n.{attr}")).alias(attr))
+            # A frame may carry the Seen* keys' COUNTERPART side without
+            # the attr column itself (attr-less legacy tables): reference
+            # each side's attr only when that side has it — the
+            # pre-round-6 unconditional F.col("e.worksAt")/F.col("n.worksAt")
+            # raised AnalysisException exactly where the old strategies-
+            # loop fallback used to apply (round-5 advice item 3).
+            e_attr = (
+                F.col(f"e.{attr}")
+                if attr in existing.columns
+                else F.lit(None).cast("string")
+            )
+            n_attr = (
+                F.col(f"n.{attr}")
+                if attr in incoming.columns
+                else F.lit(None).cast("string")
+            )
+            e_wins = e_attr.isNotNull()
+            n_wins = ~e_wins & n_attr.isNotNull()
+            cols.append(F.coalesce(e_attr, n_attr).alias(attr))
             for i in range(3):
                 cols.append(
                     F.when(e_wins, _key("e", i))

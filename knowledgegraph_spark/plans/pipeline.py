@@ -347,7 +347,43 @@ def run_pipeline(
     else:
         seen = cat.partition_values("checkpoint_ledger", "bucket") if cat.exists("checkpoint_ledger") else []
         if seen:
-            n_ledger_buckets = 1 << (max(seen[-1], 15)).bit_length()
+            # Candidate: next power of two ≥ the highest bucket dir seen —
+            # exact only for ledgers dense enough to have hit their top
+            # bucket.  VERIFY before trusting it (round-5 advice item 2):
+            # a sparse ledger under-recovers, and the wrong modulus would
+            # be persisted into meta and silently mis-prune every future
+            # resume.  One (bucket, xxhash64(url)) sample per occupied
+            # bucket decides: the true modulus is the smallest power of
+            # two ≥ candidate under which every sampled row's pmod equals
+            # its stored bucket (a WRONG power of two passes a given row
+            # with probability 1/2, so ~n_occupied samples bound a false
+            # accept at ~2^-n_occupied).  Python's % equals Spark's pmod
+            # for positive moduli, so the doubling search is driver-side.
+            cand = 1 << (max(seen[-1], 15)).bit_length()
+            pairs = [
+                (int(r["bucket"]), int(r["h"]))
+                for r in cat.read("checkpoint_ledger")
+                .groupBy("bucket")
+                .agg(F.first("url").alias("url"))
+                .select("bucket", F.xxhash64("url").alias("h"))
+                .collect()
+            ]
+            n_ledger_buckets = None
+            while cand <= 1 << 24:
+                if all(b == h % cand for b, h in pairs):
+                    n_ledger_buckets = cand
+                    break
+                cand <<= 1
+            if n_ledger_buckets is None:
+                # No power-of-two modulus fits the stored rows: the table
+                # mixes moduli.  Fail loudly instead of silently
+                # mis-pruning resume or appending yet another layout;
+                # admin.compact_ledger rebuilds the table.
+                raise ValueError(
+                    "checkpoint_ledger bucket layout is inconsistent with "
+                    "every candidate modulus (lost meta + mixed buckets?); "
+                    "run admin.compact_ledger to rebuild the layout"
+                )
         else:
             n_ledger_buckets = None  # first write: derived at commit below
 

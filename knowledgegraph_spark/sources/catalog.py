@@ -111,8 +111,18 @@ class Catalog:
                     if d != target:
                         shutil.rmtree(os.path.join(warehouse, d), ignore_errors=True)
             elif not os.path.exists(link):
+                # No link + a ``gen-legacy*`` dir = the legacy-migration
+                # crash window (old real dir renamed aside, new gen
+                # written, link never landed).  The legacy dir is the last
+                # DURABLY COMMITTED state — restore it (rollback
+                # semantics); linking the newest-mtime dir would commit
+                # the in-flight write instead (round-5 advice item 4).
+                # Without a legacy dir, newest mtime stays the
+                # best-effort current.
+                legacy = [d for d in dirs if d.split(".gen-", 1)[1].startswith("legacy")]
+                pool = legacy or dirs
                 best = max(
-                    dirs, key=lambda d: os.path.getmtime(os.path.join(warehouse, d))
+                    pool, key=lambda d: os.path.getmtime(os.path.join(warehouse, d))
                 )
                 os.symlink(best, link)
                 for d in dirs:
@@ -163,8 +173,12 @@ class Catalog:
         Crash windows: an unswapped ``.tmp-``/``.gen-`` dir is healed at
         the next ``Catalog.__init__`` (drop non-target generations; the
         link, when present, IS the commit record).  A legacy real-dir
-        table is migrated on its first write here; pre-migration crash
-        leaves the legacy dir untouched.
+        table is migrated on its first write here; a crash BEFORE the
+        ``final → gen-legacy`` rename leaves the legacy dir untouched, a
+        crash AFTER it but before the link lands leaves ``gen-legacy*``
+        plus the new gen with no link — the init heal then restores the
+        ``gen-legacy*`` dir (the last durably committed state, rollback
+        semantics) and drops the in-flight generation.
         """
         gen_id = uuid.uuid4().hex[:8]
         final = self.path(table)

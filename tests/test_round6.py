@@ -238,6 +238,166 @@ def test_pipeline_passes_surface_to_mapping():
     assert 'F.count("*").alias("n_mentions")' in src_run
 
 
+def test_node_key_type_vocabulary_has_no_separator():
+    """node = type|norm_name must be injective over (type, norm_name):
+    no extractor type value (or matching-rule entity type) may contain
+    the '|' separator (round-5 advice item 1 — the fused surface table
+    depends on this bijection)."""
+    from knowledgegraph_spark.config import MATCHING_RULES
+    from knowledgegraph_spark.operators.extraction import _pattern_table
+
+    types = set(MATCHING_RULES)
+    for _pat, handler, _tag, _lit in _pattern_table():
+        pass  # handlers emit types from the closed sets below
+    types |= {
+        "Person", "Organization", "Repository", "Issue", "CodeChangeRequest",
+        "Branch", "Team", "Project", "Topic", "Event",
+    }
+    assert all("|" not in t for t in types), sorted(t for t in types if "|" in t)
+
+
+def test_upsert_one_sided_seen_with_attrless_legacy_frame(spark):
+    """Round-5 advice item 3: an existing frame that lacks the attr
+    column entirely must not raise when the incoming side carries the
+    Seen* origin keys — the incoming value and keys win."""
+    from knowledgegraph_spark.operators.merge import upsert_entities
+
+    existing = spark.createDataFrame(
+        [("Person", "Alice Johnson", ["A. J."], ["a@x.example"], None, ["u0"])],
+        "type string, name string, aliases array<string>, emails array<string>,"
+        " domain string, sources array<string>",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (
+                "Person", "Alice Johnson", [], [], None, ["u1"],
+                "Acme", "2024-02-01 00:00:00", "u1", 3,
+            )
+        ],
+        "type string, name string, aliases array<string>, emails array<string>,"
+        " domain string, sources array<string>, worksAt string,"
+        " worksAtSeenTs string, worksAtSeenUrl string, worksAtSeenOrd int",
+    ).withColumn("worksAtSeenTs", F.to_timestamp("worksAtSeenTs"))
+    out = upsert_entities(existing, incoming).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.worksAt == "Acme"
+    assert row.worksAtSeenUrl == "u1" and row.worksAtSeenOrd == 3
+    assert sorted(row.sources) == ["u0", "u1"]
+
+
+def test_sparse_ledger_modulus_recovery_verified(spark, tmp_path):
+    """Round-5 verdict item 4 / advice item 2, sparse power-of-two case:
+    a modulus-64 ledger whose occupied buckets are all < 32 loses its
+    meta; the dir-based guess (32) happens to be a CONSISTENT relabeling
+    (h%32 == h%64 whenever h%64 < 32), and the new verification must
+    prove that consistency against the stored rows — and resume must
+    skip every ledgered url under the adopted modulus."""
+    import os
+
+    from pyspark.sql import Row
+
+    from knowledgegraph_spark.config import PAGES_SCHEMA
+    from knowledgegraph_spark.corpus import generate_corpus
+    from knowledgegraph_spark.plans.pipeline import run_pipeline
+    from knowledgegraph_spark.sources.catalog import Catalog
+
+    c = generate_corpus(60, seed=7)
+    pages = spark.createDataFrame([Row(**p) for p in c["pages"]], schema=PAGES_SCHEMA)
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+
+    urls = pages.select("url").distinct()
+    led = urls.select(
+        "url",
+        F.lit("a").alias("session_id"),
+        F.lit("ok").alias("status"),
+        F.current_timestamp().alias("processed_at"),
+        F.pmod(F.xxhash64("url"), F.lit(64)).cast("int").alias("bucket"),
+    ).filter(F.col("bucket") < 32)
+    pre = {r.url for r in led.select("url").collect()}
+    assert len(pre) > 5  # the fixture must actually exercise the sparse case
+    cat.write(led, "checkpoint_ledger", partition_by=["bucket"],
+              meta={"n_buckets": 64, "partition_col": "bucket"})
+    os.remove(os.path.join(os.path.realpath(cat.path("checkpoint_ledger")),
+                           "_kg_meta.json"))
+
+    cat2 = run_pipeline(spark, pages, wh, session_id="b")
+    meta = cat2.get_meta("checkpoint_ledger")
+    assert meta is not None
+    n_rec = int(meta["n_buckets"])
+    led2 = cat2.read("checkpoint_ledger")
+    # the adopted modulus is VERIFIED-consistent with every stored row
+    bad = led2.filter(
+        F.col("bucket") != F.pmod(F.xxhash64("url"), F.lit(n_rec)).cast("int")
+    ).count()
+    assert bad == 0
+    # no ledgered url was re-processed under the adopted layout
+    re_done = led2.filter(F.col("session_id") == "b").select("url").distinct()
+    assert {r.url for r in re_done.collect()}.isdisjoint(pre)
+    # and all urls are ledgered exactly once overall
+    assert led2.select("url").distinct().count() == urls.count()
+
+
+def test_mixed_modulus_ledger_fails_loudly(spark, tmp_path):
+    """Round-5 advice item 2, the unrepairable case: a legacy
+    NON-power-of-two layout (or mixed moduli) with lost meta fits no
+    candidate modulus; resume must refuse loudly (pointing at
+    admin.compact_ledger) instead of silently mis-pruning."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from knowledgegraph_spark.config import PAGES_SCHEMA
+    from knowledgegraph_spark.corpus import generate_corpus
+    from knowledgegraph_spark.plans.pipeline import run_pipeline
+    from knowledgegraph_spark.sources.catalog import Catalog
+
+    c = generate_corpus(40, seed=9)
+    pages = spark.createDataFrame([Row(**p) for p in c["pages"]], schema=PAGES_SCHEMA)
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh)
+    led = pages.select("url").distinct().select(
+        "url",
+        F.lit("a").alias("session_id"),
+        F.lit("ok").alias("status"),
+        F.current_timestamp().alias("processed_at"),
+        F.pmod(F.xxhash64("url"), F.lit(48)).cast("int").alias("bucket"),
+    )
+    cat.write(led, "checkpoint_ledger", partition_by=["bucket"],
+              meta={"n_buckets": 48, "partition_col": "bucket"})
+    os.remove(os.path.join(os.path.realpath(cat.path("checkpoint_ledger")),
+                           "_kg_meta.json"))
+    with _pytest.raises(ValueError, match="compact_ledger"):
+        run_pipeline(spark, pages, wh, session_id="b")
+
+
+def test_catalog_heal_prefers_legacy_generation(spark, tmp_path):
+    """Round-5 advice item 4: a crash in the legacy-migration window
+    (real dir renamed to gen-legacy*, new gen written, link never landed)
+    must roll BACK to the legacy dir — the last durably committed state —
+    not commit the in-flight write by newest mtime."""
+    import os
+    import time
+
+    from knowledgegraph_spark.sources.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    cat = Catalog(spark, wh)
+    old = spark.createDataFrame([(1, "committed")], "id long, v string")
+    new = spark.createDataFrame([(2, "in-flight")], "id long, v string")
+    # simulate the crash window by hand: no link, two gens, legacy older
+    old.write.parquet(os.path.join(wh, "t.gen-legacyaaaa0000"))
+    time.sleep(1.1)  # make the in-flight gen strictly newer by mtime
+    new.write.parquet(os.path.join(wh, "t.gen-bbbb1111"))
+    healed = Catalog(spark, wh)  # init heal runs here
+    rows = healed.read("t").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, "committed")]
+    assert not os.path.isdir(os.path.join(wh, "t.gen-bbbb1111"))
+
+
 def test_quiet_daemon_module_resolves_on_workers(spark):
     """The configured daemon module must be importable and a UDF stage
     must actually run through it."""
